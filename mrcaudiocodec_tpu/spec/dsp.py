@@ -1,0 +1,167 @@
+"""Normative DSP: framing, transient detection, MDCT/IMDCT (NumPy).
+
+Reference components R2-R5 (SURVEY.md §2a). This module DEFINES the codec's
+signal path; the JAX path (`mrcaudiocodec_tpu.ops`) mirrors it operation for
+operation in float32.
+
+MDCT convention: X[k] = sum_n v[n] cos(pi/M (n + 1/2 + M/2)(k + 1/2)) with
+N = 2M, computed as TDAC fold to M samples followed by an orthonormal
+DCT-IV (`tables.dct_iv_matrix`). Inverse = transpose. Perfect reconstruction
+with Princen-Bradley windows is verified in tests/test_mdct.py.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import config as C
+from .. import tables as T
+
+F32 = np.float32
+
+# ---------------------------------------------------------------------------
+# Framing (R2)
+# ---------------------------------------------------------------------------
+
+
+def frame_signal(x: np.ndarray) -> np.ndarray:
+    """[n] float32 -> [F, LONG_SIZE] 50%-overlapped frames (zero primed)."""
+    x = np.asarray(x, dtype=F32)
+    n = len(x)
+    nf = max(1, -(-n // C.HOP) + 1)
+    padded = np.zeros(C.HOP + nf * C.HOP + C.HOP, dtype=F32)
+    padded[C.HOP:C.HOP + n] = x
+    idx = np.arange(C.LONG_SIZE)[None, :] + C.HOP * np.arange(nf)[:, None]
+    return padded[idx]
+
+
+def overlap_add(frames_out: np.ndarray, n_samples: int) -> np.ndarray:
+    """[F, LONG_SIZE] windowed synthesis frames -> [n_samples] float32."""
+    nf = frames_out.shape[0]
+    total = C.HOP + nf * C.HOP + C.HOP
+    y = np.zeros(total, dtype=np.float64)
+    for f in range(nf):
+        y[f * C.HOP:f * C.HOP + C.LONG_SIZE] += frames_out[f]
+    return y[C.HOP:C.HOP + n_samples].astype(F32)
+
+
+# ---------------------------------------------------------------------------
+# Transient detection + block types (R5)
+# ---------------------------------------------------------------------------
+
+ATTACK_RATIO = F32(10.0)
+ATTACK_ABS = F32(1e-4)
+ATTACK_EPS = F32(1e-12)
+N_SUB = 16  # 128-sample sub-blocks per frame
+
+
+def detect_transients(frames: np.ndarray) -> np.ndarray:
+    """[F, 2048] -> [F] bool. High-passed sub-block energy attack test.
+
+    Normative: all arithmetic in float32. d = first difference within the
+    frame; e[i] = sum of d^2 over 128-sample sub-block i; attack iff
+    e[i] > 10 * prefix_mean(e)[i] and e[i] > 1e-4, for any i >= 1.
+    """
+    fr = np.asarray(frames, dtype=F32)
+    d = np.zeros_like(fr)
+    d[:, 1:] = fr[:, 1:] - fr[:, :-1]
+    e = (d.reshape(fr.shape[0], N_SUB, -1).astype(F32) ** 2).sum(axis=2, dtype=F32)
+    csum = np.cumsum(e, axis=1, dtype=F32)
+    i = np.arange(1, N_SUB, dtype=F32)
+    prefix_mean = csum[:, :-1] / i[None, :] + ATTACK_EPS
+    attack = (e[:, 1:] > ATTACK_RATIO * prefix_mean) & (e[:, 1:] > ATTACK_ABS)
+    return attack.any(axis=1)
+
+
+def block_types(transient: np.ndarray, window_switching: bool) -> np.ndarray:
+    """[F] bool -> [F] int32 block types (vectorized, no FSM scan).
+
+    SHORT where transient; otherwise the type is determined by whether each
+    neighbour is SHORT: LONG / START (right neighbour short) / STOP (left
+    short) / STARTSTOP (both). Adjacent window halves are complementary by
+    construction, so every sequence this produces is legal.
+    """
+    tr = np.asarray(transient, dtype=bool)
+    if not window_switching:
+        return np.zeros(len(tr), dtype=np.int32)
+    ls = np.concatenate([[False], tr[:-1]])   # left neighbour short
+    rs = np.concatenate([tr[1:], [False]])    # right neighbour short
+    bt = np.full(len(tr), C.LONG, dtype=np.int32)
+    bt[~tr & ~ls & rs] = C.START
+    bt[~tr & ls & ~rs] = C.STOP
+    bt[~tr & ls & rs] = C.STARTSTOP
+    bt[tr] = C.SHORT
+    return bt
+
+
+# ---------------------------------------------------------------------------
+# MDCT / IMDCT (R3, R4)
+# ---------------------------------------------------------------------------
+
+
+def _fold(v: np.ndarray) -> np.ndarray:
+    """TDAC fold [..., 2M] -> [..., M]."""
+    m = v.shape[-1] // 2
+    h = m // 2
+    u = np.empty(v.shape[:-1] + (m,), dtype=v.dtype)
+    # u[0:h]  = -v[3h-1 .. 2h] - v[3h .. 4h-1]   (both reversed/forward resp.)
+    u[..., :h] = -v[..., 3 * h - 1:2 * h - 1:-1] - v[..., 3 * h:]
+    # u[h:m] = v[0:h] - v[2h-1 .. h]
+    u[..., h:] = v[..., :h] - v[..., 2 * h - 1:h - 1:-1]
+    return u
+
+
+def _unfold(u: np.ndarray) -> np.ndarray:
+    """Transpose of _fold: [..., M] -> [..., 2M]."""
+    m = u.shape[-1]
+    h = m // 2
+    v = np.empty(u.shape[:-1] + (2 * m,), dtype=u.dtype)
+    v[..., :h] = u[..., h:]
+    v[..., h:m] = -u[..., m - 1:h - 1:-1]
+    v[..., m:3 * h] = -u[..., h - 1::-1]
+    v[..., 3 * h:] = -u[..., :h]
+    return v
+
+
+def mdct(v: np.ndarray) -> np.ndarray:
+    """Windowed block [..., 2M] -> MDCT coefficients [..., M] (float32)."""
+    m = v.shape[-1] // 2
+    basis = T.dct_iv_matrix(m).astype(F32)
+    return _fold(np.asarray(v, dtype=F32)) @ basis.T
+
+
+def imdct(x: np.ndarray) -> np.ndarray:
+    """MDCT coefficients [..., M] -> time block [..., 2M] (pre-window)."""
+    m = x.shape[-1]
+    basis = T.dct_iv_matrix(m).astype(F32)
+    return _unfold(np.asarray(x, dtype=F32) @ basis)
+
+
+def analyze_frame(frame: np.ndarray, block_type: int, window: str = "sine") -> np.ndarray:
+    """One frame [2048] -> [1024] coefficients (long) or 8x128 flattened.
+
+    SHORT frames return group-major layout: coeff[g*128 + k] for sub-block g.
+    """
+    if block_type != C.SHORT:
+        w = T.long_windows(window)[block_type].astype(F32)
+        return mdct(frame.astype(F32) * w)
+    ws = T.short_window(window).astype(F32)
+    off = C.SHORT_OFFSET
+    subs = np.stack([
+        frame[off + g * C.SHORT_COEFFS: off + g * C.SHORT_COEFFS + C.SHORT_SIZE]
+        for g in range(C.N_SHORT)
+    ]).astype(F32)
+    return mdct(subs * ws[None, :]).reshape(-1)
+
+
+def synthesize_frame(coeffs: np.ndarray, block_type: int, window: str = "sine") -> np.ndarray:
+    """[1024] coefficients -> windowed synthesis frame [2048] for OLA."""
+    if block_type != C.SHORT:
+        w = T.long_windows(window)[block_type].astype(F32)
+        return imdct(coeffs) * w
+    ws = T.short_window(window).astype(F32)
+    subs = imdct(coeffs.reshape(C.N_SHORT, C.SHORT_COEFFS)) * ws[None, :]
+    out = np.zeros(C.LONG_SIZE, dtype=F32)
+    off = C.SHORT_OFFSET
+    for g in range(C.N_SHORT):
+        out[off + g * C.SHORT_COEFFS: off + g * C.SHORT_COEFFS + C.SHORT_SIZE] += subs[g]
+    return out

@@ -1,0 +1,128 @@
+"""Spec codec integration tests: encode/decode roundtrip, rate discipline,
+reservoir properties (SURVEY.md §4 'golden/conformance' + 'property tests').
+"""
+import numpy as np
+import pytest
+
+from mrcaudiocodec_tpu import config as C
+from mrcaudiocodec_tpu.config import CodecConfig
+from mrcaudiocodec_tpu.spec import bitstream, codec, dsp, psycho, reservoir
+
+
+def make_clip(fs, seconds, stereo=False, transient=True, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(fs * seconds)
+    t = np.arange(n) / fs
+    x = (0.45 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 2350 * t)
+         + 0.08 * np.sin(2 * np.pi * 9000 * t)).astype(np.float32)
+    x += 0.01 * rng.standard_normal(n).astype(np.float32)
+    if transient:
+        for pos in range(fs // 2, n - 200, fs):
+            x[pos:pos + 64] += (0.6 * rng.standard_normal(64)).astype(np.float32)
+    x = np.clip(x, -1, 1)
+    if stereo:
+        x2 = np.roll(x, 7) * 0.9
+        return np.stack([x, x2], axis=1)
+    return x[:, None]
+
+
+def snr_db(x, y):
+    err = x - y
+    return 10 * np.log10((np.mean(x ** 2) + 1e-30) / (np.mean(err ** 2) + 1e-30))
+
+
+@pytest.mark.parametrize("fs,channels,bitrate", [
+    (44100, 1, 96000),        # acceptance config 1 (BASELINE.json:7)
+    (44100, 2, 128000),       # acceptance config 2 (BASELINE.json:8)
+    (48000, 2, 192000),       # acceptance config 3 (BASELINE.json:9)
+])
+def test_roundtrip_snr(fs, channels, bitrate):
+    cfg = CodecConfig(fs=fs, channels=channels, bitrate=bitrate)
+    x = make_clip(fs, 1.0, stereo=(channels == 2))
+    bs = codec.encode(x, cfg)
+    y, cfg2 = codec.decode(bs)
+    assert cfg2.fs == fs and cfg2.channels == channels
+    assert y.shape == x.shape
+    s = snr_db(x, y)
+    assert s > 25.0, f"SNR too low: {s:.1f} dB"
+    # produced rate does not exceed target (+header slop)
+    dur = x.shape[0] / fs
+    assert len(bs) * 8 <= bitrate * dur * 1.02 + 512
+
+
+def test_long_windows_only_mode():
+    cfg = CodecConfig(fs=44100, channels=1, bitrate=96000,
+                      window_switching=False)
+    x = make_clip(44100, 0.5)
+    bs = codec.encode(x, cfg)
+    y, _ = codec.decode(bs)
+    assert snr_db(x, y) > 25.0
+
+
+def test_psycho_disabled_mode():
+    cfg = CodecConfig(fs=44100, channels=1, bitrate=96000, full_psycho=False)
+    x = make_clip(44100, 0.5)
+    bs = codec.encode(x, cfg)
+    y, _ = codec.decode(bs)
+    assert snr_db(x, y) > 25.0
+
+
+def test_reservoir_disabled_mode():
+    cfg = CodecConfig(fs=44100, channels=1, bitrate=96000, reservoir=False)
+    x = make_clip(44100, 0.5)
+    bs = codec.encode(x, cfg)
+    y, _ = codec.decode(bs)
+    assert snr_db(x, y) > 25.0
+
+
+def test_frame_bits_within_budget():
+    """Property: every frame's record obeys its allocated budget
+    (SURVEY.md §4 'rate loop never exceeds budget')."""
+    cfg = CodecConfig(fs=44100, channels=1, bitrate=96000)
+    x = make_clip(44100, 1.0)
+    records, bt, budgets = codec.encode_channel(x[:, 0], cfg)
+    for f, (codes, lens) in enumerate(records):
+        content = sum(lens)
+        total = C.FRAME_LEN_BITS + content + (-(C.FRAME_LEN_BITS + content)) % 8
+        assert total <= budgets[f], f"frame {f}: {total} > {budgets[f]}"
+
+
+def test_reservoir_bounds():
+    """Property: reservoir never negative nor above cap."""
+    cfg = CodecConfig(fs=44100, channels=1, bitrate=96000)
+    rng = np.random.default_rng(0)
+    pe = rng.uniform(0, 3000, 500).astype(np.float32)
+    budgets = reservoir.allocate(pe, cfg)
+    mean_bits = int(np.floor(cfg.mean_frame_bits))
+    r = 0
+    for f in range(len(pe)):
+        assert budgets[f] >= int(C.MIN_FRAME_FRAC * mean_bits) - 1
+        assert budgets[f] <= mean_bits + r
+        r = min(max(r + mean_bits - int(budgets[f]), 0), cfg.reservoir_cap)
+        assert 0 <= r <= cfg.reservoir_cap
+
+
+def test_header_roundtrip():
+    from mrcaudiocodec_tpu.utils.bits import BitWriter
+    cfg = CodecConfig(fs=48000, channels=2, bitrate=192000,
+                      window_switching=False, full_psycho=False,
+                      reservoir=False, window="kbd")
+    w = BitWriter()
+    bitstream.write_header(w, cfg, 1234, 567890)
+    cfg2, nf, ns, pos = bitstream.read_header(w.getvalue())
+    assert cfg2 == cfg and nf == 1234 and ns == 567890
+    assert pos == bitstream.HEADER_BYTES * 8
+
+
+def test_frame_byte_offsets_scan():
+    cfg = CodecConfig(fs=44100, channels=1, bitrate=96000)
+    x = make_clip(44100, 0.3)
+    bs = codec.encode(x, cfg)
+    cfg2, nf, ns, hdr_bits = bitstream.read_header(bs)
+    offs, lens = bitstream.frame_byte_offsets(bs, hdr_bits // 8, nf)
+    assert offs[0] == bitstream.HEADER_BYTES
+    # offsets must be strictly increasing and end within the buffer
+    assert np.all(np.diff(offs) > 0)
+    last = offs[-1] + (C.FRAME_LEN_BITS + lens[-1] + 7) // 8
+    assert last == len(bs)
