@@ -1,0 +1,117 @@
+"""Benchmark harness (SURVEY.md §2b N12).
+
+Measures the headline metric (BASELINE.json:2/5): encode realtime factor
+per chip at 128 kbps stereo 44.1 kHz, reported relative to the normative
+spec-Python codec's realtime factor ("vs_baseline" = tpu_rtf / spec_rtf,
+target >= 100x).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Run `python bench.py --full` for the per-stage breakdown and extra metrics
+(frames/s, decode RTF, segmental SNR vs spec) on stderr.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_clip(fs: int, seconds: float, channels: int, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(fs * seconds)
+    t = np.arange(n) / fs
+    x = np.zeros(n, np.float32)
+    # music-like: evolving tone stack + noise floor + periodic transients
+    for f0, a in [(220, 0.3), (440, 0.2), (1320, 0.12), (3520, 0.07)]:
+        x += (a * np.sin(2 * np.pi * f0 * t + 0.1 * np.sin(2 * np.pi * 0.5 * t))
+              ).astype(np.float32)
+    x += (0.02 * rng.standard_normal(n)).astype(np.float32)
+    for pos in range(fs // 2, n - 300, int(0.7 * fs)):
+        x[pos:pos + 96] += (0.5 * rng.standard_normal(96)).astype(np.float32)
+    x = np.clip(x, -1, 1)
+    if channels == 2:
+        return np.stack([x, np.roll(x, 11) * 0.9], axis=1)
+    return x[:, None]
+
+
+def segmental_snr(x, y, seg=1024):
+    n = (len(x) // seg) * seg
+    xs = x[:n].reshape(-1, seg)
+    ys = y[:n].reshape(-1, seg)
+    num = (xs ** 2).mean(axis=1)
+    den = ((xs - ys) ** 2).mean(axis=1)
+    keep = num > 1e-8
+    return float(np.mean(10 * np.log10((num[keep] + 1e-30)
+                                       / (den[keep] + 1e-30))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="extra metrics on stderr")
+    ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--spec-seconds", type=float, default=4.0,
+                    help="clip length for the (slow) spec-Python baseline")
+    args = ap.parse_args()
+
+    from mrcaudiocodec_tpu.config import CodecConfig
+    from mrcaudiocodec_tpu.spec import codec as scodec
+
+    fs, channels, bitrate = 44100, 2, 128000
+    cfg = CodecConfig(fs=fs, channels=channels, bitrate=bitrate)
+
+    # --- spec-Python baseline RTF (the denominator, SURVEY.md §6)
+    x_spec = make_clip(fs, args.spec_seconds, channels)
+    t0 = time.perf_counter()
+    bs_spec = scodec.encode(x_spec, cfg)
+    spec_dt = time.perf_counter() - t0
+    spec_rtf = args.spec_seconds / spec_dt
+    log(f"spec-Python encode: {spec_dt:.2f}s for {args.spec_seconds}s "
+        f"-> RTF {spec_rtf:.2f}x")
+
+    # --- TPU path RTF (steady state: warm-up run compiles, second run times)
+    from mrcaudiocodec_tpu.models import codec as tcodec
+    x = make_clip(fs, args.seconds, channels)
+    t0 = time.perf_counter()
+    bs_warm = tcodec.encode(x, cfg)
+    warm_dt = time.perf_counter() - t0
+    log(f"tpu encode warm-up (incl. compile): {warm_dt:.2f}s")
+    t0 = time.perf_counter()
+    bs = tcodec.encode(x, cfg)
+    tpu_dt = time.perf_counter() - t0
+    tpu_rtf = args.seconds / tpu_dt
+    nf = int(np.ceil(x.shape[0] / 1024)) + 1
+    log(f"tpu encode: {tpu_dt:.2f}s for {args.seconds}s stereo "
+        f"-> RTF {tpu_rtf:.1f}x ({nf * channels / tpu_dt:.0f} frames/s), "
+        f"rate {len(bs) * 8 / args.seconds / 1000:.1f} kbps")
+
+    if args.full:
+        y, _ = tcodec.decode(bs)
+        t0 = time.perf_counter()
+        y, _ = tcodec.decode(bs)
+        dec_dt = time.perf_counter() - t0
+        ssnr = segmental_snr(x[:, 0], y[:, 0])
+        y_s, _ = scodec.decode(bs_spec)
+        ssnr_spec = segmental_snr(x_spec[:, 0], y_s[:, 0])
+        log(f"tpu decode RTF {args.seconds / dec_dt:.1f}x; "
+            f"segSNR tpu {ssnr:.2f} dB (spec clip: {ssnr_spec:.2f} dB)")
+
+    print(json.dumps({
+        "metric": "encode_realtime_factor_per_chip_128kbps_stereo",
+        "value": round(tpu_rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(tpu_rtf / spec_rtf, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""JAX device DSP: batched transient detect, MDCT/IMDCT, overlap-add.
+
+TPU-first mirror of the normative spec (mrcaudiocodec_tpu/spec/dsp.py):
+every frame of a batch flows through both the long and the short analysis
+path with static shapes, and the result is selected by block type — no
+data-dependent control flow, so XLA fuses the whole filterbank into a few
+large MXU matmuls (SURVEY.md §2b N2).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as C
+from .. import tables as T
+
+F32 = jnp.float32
+
+
+@functools.lru_cache(maxsize=None)
+def _consts(window: str = "sine"):
+    """Device-ready constant tables (float32)."""
+    return {
+        "long_windows": np.asarray(T.long_windows(window), dtype=np.float32),
+        "short_window": np.asarray(T.short_window(window), dtype=np.float32),
+        "dct4_long": np.asarray(T.dct_iv_matrix(C.LONG_COEFFS),
+                                dtype=np.float32),
+        "dct4_short": np.asarray(T.dct_iv_matrix(C.SHORT_COEFFS),
+                                 dtype=np.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Framing (host-side helper) — R2
+# ---------------------------------------------------------------------------
+
+
+def frame_signal(x: np.ndarray) -> np.ndarray:
+    """Host-side framing identical to spec.dsp.frame_signal."""
+    from ..spec.dsp import frame_signal as _fs
+    return _fs(x)
+
+
+# ---------------------------------------------------------------------------
+# Transient detection + block types — R5 (batched)
+# ---------------------------------------------------------------------------
+
+
+def detect_transients(frames: jnp.ndarray) -> jnp.ndarray:
+    """[F, 2048] -> [F] bool (mirror of spec.dsp.detect_transients)."""
+    from ..spec.dsp import ATTACK_ABS, ATTACK_EPS, ATTACK_RATIO, N_SUB
+    fr = frames.astype(F32)
+    d = jnp.concatenate(
+        [jnp.zeros_like(fr[:, :1]), fr[:, 1:] - fr[:, :-1]], axis=1)
+    e = (d.reshape(fr.shape[0], N_SUB, -1) ** 2).sum(axis=2)
+    csum = jnp.cumsum(e, axis=1)
+    i = jnp.arange(1, N_SUB, dtype=F32)
+    prefix_mean = csum[:, :-1] / i[None, :] + ATTACK_EPS
+    attack = (e[:, 1:] > ATTACK_RATIO * prefix_mean) & (e[:, 1:] > ATTACK_ABS)
+    return attack.any(axis=1)
+
+
+def block_types(transient: jnp.ndarray, window_switching: bool) -> jnp.ndarray:
+    """[F] bool -> [F] int32 (mirror of spec.dsp.block_types)."""
+    tr = transient
+    if not window_switching:
+        return jnp.zeros(tr.shape, dtype=jnp.int32)
+    f = jnp.zeros_like(tr[:1])
+    ls = jnp.concatenate([f, tr[:-1]])
+    rs = jnp.concatenate([tr[1:], f])
+    bt = jnp.where(
+        tr, C.SHORT,
+        jnp.where(ls & rs, C.STARTSTOP,
+                  jnp.where(ls, C.STOP, jnp.where(rs, C.START, C.LONG))))
+    return bt.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# MDCT / IMDCT — R3/R4 (batched, matmul form: MXU-native)
+# ---------------------------------------------------------------------------
+
+
+def _fold(v: jnp.ndarray) -> jnp.ndarray:
+    m = v.shape[-1] // 2
+    h = m // 2
+    a = -v[..., 3 * h - 1:2 * h - 1:-1] - v[..., 3 * h:]
+    b = v[..., :h] - v[..., 2 * h - 1:h - 1:-1]
+    return jnp.concatenate([a, b], axis=-1)
+
+
+def _unfold(u: jnp.ndarray) -> jnp.ndarray:
+    m = u.shape[-1]
+    h = m // 2
+    return jnp.concatenate([
+        u[..., h:],
+        -u[..., m - 1:h - 1:-1],
+        -u[..., h - 1::-1],
+        -u[..., :h],
+    ], axis=-1)
+
+
+def _short_subblocks(frames: jnp.ndarray) -> jnp.ndarray:
+    """[F, 2048] -> [F, 8, 256] the EIGHT_SHORT sub-block views."""
+    off = C.SHORT_OFFSET
+    subs = [frames[:, off + g * C.SHORT_COEFFS:
+                   off + g * C.SHORT_COEFFS + C.SHORT_SIZE]
+            for g in range(C.N_SHORT)]
+    return jnp.stack(subs, axis=1)
+
+
+def analyze(frames: jnp.ndarray, bt: jnp.ndarray,
+            window: str = "sine") -> jnp.ndarray:
+    """Batched MDCT: [F, 2048] + [F] block types -> [F, 1024] coefficients.
+
+    Both the long path (per-type composed window, 1024-point DCT-IV matmul)
+    and the short path (8x 128-point DCT-IV matmul) are computed for every
+    frame with static shapes; the per-frame result is selected by block
+    type. The 2x arithmetic redundancy is far cheaper on the MXU than any
+    shape-dynamic alternative (SURVEY.md §7 step 1).
+    """
+    cst = _consts(window)
+    fr = frames.astype(F32)
+    # long-family
+    w = jnp.asarray(cst["long_windows"])[bt]         # [F, 2048] gather
+    xl = _fold(fr * w) @ jnp.asarray(cst["dct4_long"]).T
+    # short
+    subs = _short_subblocks(fr) * jnp.asarray(cst["short_window"])[None, None, :]
+    xs = (_fold(subs) @ jnp.asarray(cst["dct4_short"]).T).reshape(fr.shape[0], -1)
+    return jnp.where((bt == C.SHORT)[:, None], xs, xl)
+
+
+def synthesize(coeffs: jnp.ndarray, bt: jnp.ndarray,
+               window: str = "sine") -> jnp.ndarray:
+    """Batched IMDCT+window: [F, 1024] -> [F, 2048] frames ready for OLA."""
+    cst = _consts(window)
+    x = coeffs.astype(F32)
+    # long-family
+    w = jnp.asarray(cst["long_windows"])[bt]
+    vl = _unfold(x @ jnp.asarray(cst["dct4_long"])) * w
+    # short
+    us = x.reshape(x.shape[0], C.N_SHORT, C.SHORT_COEFFS)
+    subs = _unfold(us @ jnp.asarray(cst["dct4_short"])) * jnp.asarray(cst["short_window"])[None, None, :]
+    off = C.SHORT_OFFSET
+    vs = jnp.zeros_like(vl)
+    for g in range(C.N_SHORT):
+        vs = vs.at[:, off + g * C.SHORT_COEFFS:
+                   off + g * C.SHORT_COEFFS + C.SHORT_SIZE].add(subs[:, g])
+    return jnp.where((bt == C.SHORT)[:, None], vs, vl)
+
+
+def overlap_add(frames_out: jnp.ndarray, n_samples: int) -> jnp.ndarray:
+    """[F, 2048] synthesis frames -> [n_samples] signal (drop priming pad).
+
+    50%-overlap OLA is just the sum of the two half-frames that cover each
+    hop: out_hop[f] = second_half[f-1] + first_half[f].
+    """
+    nf = frames_out.shape[0]
+    first = frames_out[:, :C.HOP]
+    second = frames_out[:, C.HOP:]
+    hops = first.at[1:].add(second[:-1])             # [F, HOP]
+    # hop h covers samples [h*HOP, (h+1)*HOP) of the padded signal; output
+    # starts at padded sample HOP (frame_signal primes with one hop).
+    flat = hops.reshape(-1)[C.HOP:]
+    tail = second[-1]
+    flat = jnp.concatenate([flat, tail])
+    return flat[:n_samples]

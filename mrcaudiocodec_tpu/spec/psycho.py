@@ -57,11 +57,18 @@ def _psy_const(fs: int, n_bins: int, long_block: bool):
     }
 
 
+SFM_FLOOR_REL = F32(1e-12)  # 120 dB dynamic-range floor for the power
+                            # spectrum: bounds the cross-path sensitivity of
+                            # log(p) on near-cancelled FFT leakage bins
+                            # without adding audible-band pseudo-energy
+
+
 def _block_thresholds(p: np.ndarray, cst, full_psycho: bool):
     """Power spectrum [bins] -> (band_threshold[nb], band_energy[nb]).
 
     band_threshold is total allowed noise energy per band in FFT units.
     """
+    p = np.maximum(p, SFM_FLOOR_REL * p.max(axis=-1, keepdims=True))
     e_part = p @ cst["part_mat"]                                   # [NP]
     if full_psycho:
         spread_e = e_part @ cst["spread"]                          # [NP]

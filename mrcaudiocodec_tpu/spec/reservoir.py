@@ -24,23 +24,31 @@ F32 = np.float32
 
 
 def quantize_pe(pe: np.ndarray) -> np.ndarray:
-    """float32 perceptual entropy -> int32 difficulty (floor)."""
-    return np.floor(np.asarray(pe, dtype=F32)).astype(np.int64)
+    """float32 perceptual entropy -> int difficulty (floor, capped)."""
+    pe = np.clip(np.asarray(pe, dtype=F32), 0.0, 65535.0)
+    return np.floor(pe).astype(np.int64)
 
 
-def desired_bits(pe_q: np.ndarray, mean_bits: int) -> np.ndarray:
-    """Integer desired bits per frame from quantized PE (exact arithmetic).
+def desired_bits(pe_q: np.ndarray, mean_bits: int,
+                 mean_pe: int | None = None) -> np.ndarray:
+    """Integer desired bits per frame from quantized PE.
 
-    ratio = clip(pe_q / mean_pe_q, MIN_FRAME_FRAC, 1 + RESERVOIR_MAX_WITHDRAW)
-    computed in float32 (single exactly-rounded divide and multiply, so the
-    JAX path reproduces it bit-for-bit).
+    desired = clip((mean_bits * pe_q) // mean_pe, lo, hi) with
+    lo = floor(mean_bits * MIN_FRAME_FRAC), hi = floor(mean_bits *
+    (1 + RESERVOIR_MAX_WITHDRAW)). Pure integer arithmetic (products stay
+    below 2^31), so the JAX path reproduces it bit-for-bit on TPU where
+    float division is not guaranteed correctly rounded.
     """
-    f = len(pe_q)
-    mean_pe = max(1, int(np.sum(pe_q)) // f)
-    ratio = np.clip(pe_q.astype(F32) / F32(mean_pe),
-                    F32(C.MIN_FRAME_FRAC),
-                    F32(1.0 + C.RESERVOIR_MAX_WITHDRAW))
-    return np.floor(F32(mean_bits) * ratio).astype(np.int64)
+    if mean_pe is None:
+        mean_pe = mean_pe_of(pe_q)
+    lo = int(mean_bits * C.MIN_FRAME_FRAC)
+    hi = int(mean_bits * (1.0 + C.RESERVOIR_MAX_WITHDRAW))
+    return np.clip((mean_bits * pe_q) // mean_pe, lo, hi)
+
+
+def mean_pe_of(pe_q: np.ndarray) -> int:
+    """Mean quantized PE (int64-exact on host)."""
+    return max(1, int(np.sum(pe_q)) // len(pe_q))
 
 
 def allocate(pe: np.ndarray, cfg) -> np.ndarray:

@@ -211,10 +211,18 @@ def unified_layout(fs: int):
     for bt in range(C.N_BLOCK_TYPES):
         bin_band[bt] = np.searchsorted(edges[bt], np.arange(C.LONG_COEFFS),
                                        side="right") - 1
+    # [N_BLOCK_TYPES, LONG_COEFFS, nb] 0/1 float32 membership, for float
+    # band reductions as (MXU-friendly) matmuls. Float sums must NOT use a
+    # cumsum-at-edges trick: subtracting two large running sums cancels
+    # catastrophically for low-energy bands.
+    band_mask = np.zeros((C.N_BLOCK_TYPES, C.LONG_COEFFS, nb),
+                         dtype=np.float32)
+    for bt in range(C.N_BLOCK_TYPES):
+        band_mask[bt, np.arange(C.LONG_COEFFS), bin_band[bt]] = 1.0
     return {
         "nb": nb, "nb_long": nb_long, "nb_short": nb_short,
         "edges": edges, "bin_band": bin_band, "width": width,
-        "group_of": group_of,
+        "group_of": group_of, "band_mask": band_mask,
     }
 
 
