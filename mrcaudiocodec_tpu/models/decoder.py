@@ -20,8 +20,9 @@ from ..spec import entropy as spec_entropy
 
 @functools.partial(jax.jit, static_argnames=("window",))
 def _synth_stage(q, e_bin, bt, window):
-    xhat = quantize.dequantize(q, e_bin)
-    return dsp.synthesize(xhat, bt, window)
+    with jax.default_matmul_precision("highest"):
+        xhat = quantize.dequantize(q, e_bin)
+        return dsp.synthesize(xhat, bt, window)
 
 
 def decode(data: bytes):
@@ -32,13 +33,22 @@ def decode(data: bytes):
         data, hdr_bits // 8, nf * nch)
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
 
-    q = np.zeros((nf * nch, C.LONG_COEFFS), np.int32)
-    e_bin = np.zeros((nf * nch, C.LONG_COEFFS), np.int32)
-    bt = np.zeros(nf * nch, np.int32)
-    for i in range(nf * nch):
-        cur = spec_entropy._Bits(bits, int(offs[i]) * 8 + C.FRAME_LEN_BITS)
-        q[i], e_bin[i], bt[i], _ = spec_entropy.decode_frame_content(
-            cur, cfg.fs)
+    from .. import tables as T
+    from .. import native
+    content_offs = offs * 8 + C.FRAME_LEN_BITS
+    nat = native.decode_records(data, content_offs, cfg.fs)
+    if nat is not None:
+        q, e_band, bt, gain = nat
+        bin_band = T.unified_layout(cfg.fs)["bin_band"][bt]   # [R, 1024]
+        e_bin = np.take_along_axis(e_band, bin_band, axis=1).astype(np.int32)
+    else:                       # pure-Python fallback (no C++ toolchain)
+        q = np.zeros((nf * nch, C.LONG_COEFFS), np.int32)
+        e_bin = np.zeros((nf * nch, C.LONG_COEFFS), np.int32)
+        bt = np.zeros(nf * nch, np.int32)
+        for i in range(nf * nch):
+            cur = spec_entropy._Bits(bits, int(content_offs[i]))
+            q[i], e_bin[i], bt[i], _ = spec_entropy.decode_frame_content(
+                cur, cfg.fs)
 
     frames = _synth_stage(jnp.asarray(q), jnp.asarray(e_bin),
                           jnp.asarray(bt), cfg.window)

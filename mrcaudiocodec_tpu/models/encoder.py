@@ -29,21 +29,33 @@ from ..spec import reservoir as spec_reservoir
 from ..utils.bits import BitWriter
 
 RD_CHUNK = 256          # frames per RD jit call (bounds [F,32,1024] temps)
+ANALYZE_CHUNK = 1024    # frames per analyze jit call
+
+# Both stages run on fixed-size chunks (zero-padded) so each compiles to ONE
+# executable regardless of clip length — essential on the axon-tunnelled TPU
+# where a fresh compile costs 5-150 s (SURVEY.md §2b).
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "window_switching",
-                                             "full_psycho", "window"))
-def _analyze_stage(frames, fs, window_switching, full_psycho, window):
-    bt = dsp.block_types(dsp.detect_transients(frames), window_switching)
-    coeffs = dsp.analyze(frames, bt, window)
-    allowed, pe, _ = psycho.analyze(frames, coeffs, bt, fs, full_psycho)
-    return bt, coeffs, allowed, pe
+@jax.jit
+def _transient_stage(frames):
+    return dsp.detect_transients(frames)
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "full_psycho", "window"))
+def _analyze_stage(frames, bt, fs, full_psycho, window):
+    # HIGHEST keeps f32 matmul fidelity on the MXU (default would round
+    # through bfloat16 and diverge from the NumPy spec codec)
+    with jax.default_matmul_precision("highest"):
+        coeffs = dsp.analyze(frames, bt, window)
+        allowed, pe, _ = psycho.analyze(frames, coeffs, bt, fs, full_psycho)
+    return coeffs, allowed, pe
 
 
 @functools.partial(jax.jit, static_argnames=("fs",))
 def _rd_stage(coeffs, allowed, budgets, bt, fs):
-    q, amp, gain, bits = rd.rd_batch(coeffs, allowed, budgets, bt, fs)
-    cb, _ = entropy.payload_costs_and_choice(q, bt, fs)
+    with jax.default_matmul_precision("highest"):
+        q, amp, gain, bits = rd.rd_batch(coeffs, allowed, budgets, bt, fs)
+        cb, _ = entropy.payload_costs_and_choice(q, bt, fs)
     return q, amp, gain, bits, cb
 
 
@@ -57,13 +69,40 @@ def encode_arrays(x: np.ndarray, cfg: CodecConfig):
 
     # Host framing per channel, then batch channels on the frame axis.
     frames = np.stack([dsp.frame_signal(x[:, ch]) for ch in range(nch)])
-    frames_dev = jnp.asarray(frames.reshape(nch * nf, C.LONG_SIZE))
+    frames = frames.reshape(nch * nf, C.LONG_SIZE)
+    total = nch * nf
 
-    bt, coeffs, allowed, pe = _analyze_stage(
-        frames_dev, cfg.fs, cfg.window_switching, cfg.full_psycho, cfg.window)
+    def chunks(n, size):
+        pos = 0
+        while pos < n:
+            yield pos, min(pos + size, n)
+            pos += size
 
-    # Budgets: host int64-exact allocator, per channel.
-    pe_np = np.asarray(pe).reshape(nch, nf)
+    # Transients per frame (independent), then block types per channel on
+    # the host (the neighbour logic must not cross channel boundaries).
+    tr_l = []
+    for lo, hi in chunks(total, ANALYZE_CHUNK):
+        fchunk = np.pad(frames[lo:hi], ((0, ANALYZE_CHUNK - (hi - lo)), (0, 0)))
+        tr_l.append(np.asarray(_transient_stage(jnp.asarray(fchunk))[:hi - lo]))
+    tr = np.concatenate(tr_l).reshape(nch, nf)
+    from ..spec.dsp import block_types as host_block_types
+    bt = np.stack([host_block_types(tr[ch], cfg.window_switching)
+                   for ch in range(nch)]).reshape(total)
+
+    co_l, al_l, pe_l = [], [], []
+    for lo, hi in chunks(total, ANALYZE_CHUNK):
+        pad = ANALYZE_CHUNK - (hi - lo)
+        fchunk = np.pad(frames[lo:hi], ((0, pad), (0, 0)))
+        btc = np.pad(bt[lo:hi], (0, pad))
+        coc, alc, pec = _analyze_stage(
+            jnp.asarray(fchunk), jnp.asarray(btc), cfg.fs,
+            cfg.full_psycho, cfg.window)
+        co_l.append(np.asarray(coc[:hi - lo]))
+        al_l.append(np.asarray(alc[:hi - lo]))
+        pe_l.append(np.asarray(pec[:hi - lo]))
+    coeffs = np.concatenate(co_l)
+    allowed = np.concatenate(al_l)
+    pe_np = np.concatenate(pe_l).reshape(nch, nf)
     budgets = np.stack([spec_reservoir.allocate(pe_np[ch], cfg)
                         for ch in range(nch)]).astype(np.int32)
     budgets_dev = jnp.asarray(budgets.reshape(nch * nf))

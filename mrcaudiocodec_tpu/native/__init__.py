@@ -1,0 +1,138 @@
+"""ctypes loader for the native host bitstream runtime (mrc_native.cpp).
+
+Builds the shared library on demand with the toolchain in the image
+(g++ -O2 -shared); falls back to the pure-NumPy/Python paths when no
+compiler is available. `available()` reports which path is active.
+"""
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "mrc_native.cpp")
+_SO = os.path.join(_DIR, f"mrc_native_{sys.implementation.cache_tag}.so")
+
+
+def _build() -> str | None:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    for cxx in ("g++", "c++", "clang++"):
+        try:
+            subprocess.run(
+                [cxx, "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
+                 _SRC, "-o", _SO],
+                check=True, capture_output=True, timeout=120)
+            return _SO
+        except (FileNotFoundError, subprocess.CalledProcessError,
+                subprocess.TimeoutExpired):
+            continue
+    return None
+
+
+@functools.lru_cache(maxsize=1)
+def _lib():
+    so = _build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.mrc_decode_records.restype = ctypes.c_int
+    lib.mrc_pack_codes.restype = ctypes.c_int64
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def _ptr(a, ty):
+    return a.ctypes.data_as(ctypes.POINTER(ty))
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_tables(fs: int):
+    """Contiguous int64/int32 table arrays for the C ABI."""
+    from .. import tables as T
+
+    out = []
+    for which in ("sf", "small", "mid", "esc"):
+        min_len, max_len, first_code, first_sym, order = T.decode_table(which)
+        if which == "sf":
+            cb = T.sf_codebook()
+        else:
+            cb = T.spectrum_codebooks()["small mid esc".split().index(which)]
+        counts = np.bincount(cb.lengths, minlength=max_len + 2).astype(np.int64)
+        out.append((np.ascontiguousarray(first_code, np.int64),
+                    np.ascontiguousarray(first_sym, np.int64),
+                    np.ascontiguousarray(order, np.int64),
+                    counts, int(min_len), int(max_len)))
+    lay = T.unified_layout(fs)
+    edges = np.ascontiguousarray(lay["edges"], np.int32)
+    width = np.ascontiguousarray(lay["width"], np.int32)
+    return out, edges, width, int(lay["nb"])
+
+
+def decode_records(data: bytes, content_bit_offsets: np.ndarray, fs: int,
+                   n_threads: int = 0):
+    """Decode all frame records natively.
+
+    content_bit_offsets: [R] int64 bit offset of each record's content
+    (i.e. after the 20-bit length prefix).
+    Returns (q [R,1024] i32, e_band [R,NB] i32, bt [R] i32, gain [R] i32)
+    or None if the native library is unavailable.
+    """
+    lib = _lib()
+    if lib is None:
+        return None
+    from .. import config as C
+
+    (sf, sm, md, es), edges, width, nb = _decode_tables(fs)
+    r = len(content_bit_offsets)
+    q = np.zeros((r, C.LONG_COEFFS), np.int32)
+    e_band = np.zeros((r, nb), np.int32)
+    bt = np.zeros(r, np.int32)
+    gain = np.zeros(r, np.int32)
+    buf = np.frombuffer(data, np.uint8)
+    offs = np.ascontiguousarray(content_bit_offsets, np.int64)
+
+    def targs(t):
+        fc, fsym, order, counts, mn, mx = t
+        return (_ptr(fc, ctypes.c_int64), _ptr(fsym, ctypes.c_int64),
+                _ptr(order, ctypes.c_int64), _ptr(counts, ctypes.c_int64),
+                ctypes.c_int32(mn), ctypes.c_int32(mx))
+
+    rc = lib.mrc_decode_records(
+        _ptr(buf, ctypes.c_uint8), _ptr(offs, ctypes.c_int64),
+        ctypes.c_int64(r),
+        *targs(sf), *targs(sm), *targs(md), *targs(es),
+        _ptr(edges, ctypes.c_int32), _ptr(width, ctypes.c_int32),
+        ctypes.c_int32(nb), ctypes.c_int32(C.LONG_COEFFS),
+        ctypes.c_int32(n_threads),
+        _ptr(q, ctypes.c_int32), _ptr(e_band, ctypes.c_int32),
+        _ptr(bt, ctypes.c_int32), _ptr(gain, ctypes.c_int32))
+    if rc != 0:
+        raise ValueError(f"native decode failed with code {rc}")
+    return q, e_band, bt, gain
+
+
+def pack_codes_native(codes: np.ndarray, lengths: np.ndarray) -> bytes | None:
+    """Native MSB-first packer; returns None if unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint64)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    total = int(lengths.sum())
+    out = np.zeros((total + 7) // 8, np.uint8)
+    wrote = lib.mrc_pack_codes(_ptr(codes, ctypes.c_uint64),
+                               _ptr(lengths, ctypes.c_int64),
+                               ctypes.c_int64(len(codes)),
+                               _ptr(out, ctypes.c_uint8))
+    if wrote != total:
+        raise RuntimeError(f"native pack wrote {wrote} of {total} bits")
+    return out.tobytes()

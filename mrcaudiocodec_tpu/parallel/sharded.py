@@ -148,8 +148,9 @@ def sharded_encode_step(mesh, cfg, total_frames: int):
             (without the leading priming hop), sharded P('data', 'seq').
     Output: per-frame decision arrays, sharded P('data', 'seq').
     """
-    body = functools.partial(_shard_encode_body, cfg=cfg,
-                             total_frames=total_frames)
+    def body(xp):
+        with jax.default_matmul_precision("highest"):
+            return _shard_encode_body(xp, cfg=cfg, total_frames=total_frames)
     sm = jax.shard_map(
         body, mesh=mesh,
         in_specs=P("data", "seq"),
