@@ -1,8 +1,10 @@
-"""TPU decoder pipeline: host bitstream parse + batched device synthesis.
+"""TPU decoder pipeline: native host parse + device synthesis/overlap-add.
 
-Thanks to the MRC1 per-frame length prefixes (docs/FORMAT.md), every frame
-is located with one linear scan and the device stage (dequantize -> IMDCT
--> overlap-add) runs fully batched. The Huffman parse itself is host-side.
+The MRC1 per-frame length prefixes (docs/FORMAT.md) let the C++ runtime
+parse all frame records in parallel; the device then dequantizes, IMDCTs
+and overlap-adds whole fixed-size chunks, and only the final PCM crosses
+back to the host (one hop per chunk; chunk seams are 1024-sample
+overlap-adds done on the host).
 """
 from __future__ import annotations
 
@@ -13,16 +15,33 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config as C
+from .. import tables as T
 from ..ops import dsp, quantize
 from ..spec import bitstream as spec_bitstream
 from ..spec import entropy as spec_entropy
 
+import os as _os
+DEC_CHUNK = int(_os.environ.get("MRC_DEC_CHUNK", 1024))
 
-@functools.partial(jax.jit, static_argnames=("window",))
-def _synth_stage(q, e_bin, bt, window):
+
+@functools.partial(jax.jit, static_argnames=("fs", "window"))
+def _synth_chunk(q, e_band, bt, fs, window):
+    """[CHUNK,1024] i16 q + [CHUNK,NB] i16 exponents + [CHUNK] i8 types
+    -> overlap-added chunk signal [(CHUNK+1) * HOP] float32."""
     with jax.default_matmul_precision("highest"):
-        xhat = quantize.dequantize(q, e_bin)
-        return dsp.synthesize(xhat, bt, window)
+        lay = T.unified_layout(fs)
+        bt = bt.astype(jnp.int32)
+        bin_band = jnp.asarray(lay["bin_band"])[bt]
+        e_bin = jnp.take_along_axis(e_band.astype(jnp.int32), bin_band,
+                                    axis=-1)
+        xhat = quantize.dequantize(q.astype(jnp.int32), e_bin)
+        frames = dsp.synthesize(xhat, bt, window)        # [CHUNK, 2048]
+        first = frames[:, :C.HOP]
+        second = frames[:, C.HOP:]
+        y = jnp.concatenate(
+            [first, jnp.zeros((1, C.HOP), jnp.float32)], axis=0)
+        y = y.at[1:].add(second)
+        return y.reshape(-1)
 
 
 def decode(data: bytes):
@@ -31,30 +50,54 @@ def decode(data: bytes):
     nch = cfg.channels
     offs, lens = spec_bitstream.frame_byte_offsets(
         data, hdr_bits // 8, nf * nch)
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
 
-    from .. import tables as T
     from .. import native
     content_offs = offs * 8 + C.FRAME_LEN_BITS
+    lay = T.unified_layout(cfg.fs)
+    nb = lay["nb"]
     nat = native.decode_records(data, content_offs, cfg.fs)
     if nat is not None:
         q, e_band, bt, gain = nat
-        bin_band = T.unified_layout(cfg.fs)["bin_band"][bt]   # [R, 1024]
-        e_bin = np.take_along_axis(e_band, bin_band, axis=1).astype(np.int32)
     else:                       # pure-Python fallback (no C++ toolchain)
+        bits = np.unpackbits(np.frombuffer(data, np.uint8))
         q = np.zeros((nf * nch, C.LONG_COEFFS), np.int32)
-        e_bin = np.zeros((nf * nch, C.LONG_COEFFS), np.int32)
+        e_band = np.zeros((nf * nch, nb), np.int32)
         bt = np.zeros(nf * nch, np.int32)
         for i in range(nf * nch):
             cur = spec_entropy._Bits(bits, int(content_offs[i]))
-            q[i], e_bin[i], bt[i], _ = spec_entropy.decode_frame_content(
+            qi, e_bin_i, bti, gaini = spec_entropy.decode_frame_content(
                 cur, cfg.fs)
+            q[i], bt[i] = qi, bti
+            edges = lay["edges"][bti]
+            # per-band exponent = e at the band's first bin (gain for
+            # zero-width padding bands)
+            first_bin = np.minimum(edges[:-1], C.LONG_COEFFS - 1)
+            e_band[i] = np.where(lay["width"][bti] > 0,
+                                 e_bin_i[first_bin], gaini)
 
-    frames = _synth_stage(jnp.asarray(q), jnp.asarray(e_bin),
-                          jnp.asarray(bt), cfg.window)
-    frames = np.asarray(frames).reshape(nf, nch, C.LONG_SIZE)
+    # de-interleave records (f, ch) -> per channel [nf, ...]
+    q = q.reshape(nf, nch, -1)
+    e_band = e_band.reshape(nf, nch, -1)
+    bt = bt.reshape(nf, nch)
+
+    n_chunks = -(-nf // DEC_CHUNK)
+    nf_pad = n_chunks * DEC_CHUNK
     out = np.zeros((n_samples, nch), np.float32)
     for ch in range(nch):
-        y = dsp.overlap_add(jnp.asarray(frames[:, ch]), n_samples)
-        out[:, ch] = np.asarray(y)
+        qc = np.zeros((nf_pad, C.LONG_COEFFS), np.int16)
+        ec = np.zeros((nf_pad, nb), np.int16)
+        bc = np.zeros(nf_pad, np.int8)
+        qc[:nf] = q[:, ch]
+        ec[:nf] = e_band[:, ch]
+        bc[:nf] = bt[:, ch]
+        P = np.zeros((nf_pad + 1) * C.HOP, np.float32)
+        for c in range(n_chunks):
+            sl = slice(c * DEC_CHUNK, (c + 1) * DEC_CHUNK)
+            y = np.asarray(_synth_chunk(jnp.asarray(qc[sl]),
+                                        jnp.asarray(ec[sl]),
+                                        jnp.asarray(bc[sl]),
+                                        cfg.fs, cfg.window))
+            P[c * DEC_CHUNK * C.HOP:
+              (c * DEC_CHUNK + DEC_CHUNK + 1) * C.HOP] += y
+        out[:, ch] = P[C.HOP:C.HOP + n_samples]
     return out, cfg

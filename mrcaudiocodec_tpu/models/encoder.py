@@ -1,19 +1,29 @@
-"""TPU encoder pipeline: batched JAX front-end + host bit packing.
+"""TPU encoder pipeline: device-resident stages + host bit packing.
 
-Stage structure (SURVEY.md §3.4):
-  host:   framing (numpy views)
-  device: [jit] transient detect -> block types -> MDCT -> psycho -> PE
-  host:   bit-reservoir budget allocation (int64-exact, tiny)
-  device: [jit] batched RD loop (chunked over frames for HBM headroom)
-  host:   Huffman symbol emission + vectorized bit packing
+Stage structure (SURVEY.md §3.4), designed to minimize host<->device
+traffic and synchronization (the axon tunnel makes every byte and every
+round trip expensive; on real PCIe hosts the same structure is simply
+optimal):
 
-The two jitted stages are shape-static: frames are processed in fixed-size
-chunks (padded), so XLA compiles exactly two executables regardless of clip
-length.
+  host:   slice raw padded audio per fixed-size frame chunk (numpy views)
+  device: [jit A] frames <- gather, transients, block types, MDCT, psycho
+          (audio chunks overlap by one frame so neighbour transients are
+          exact; outputs stay ON DEVICE)
+  device: [jit B] integer bit-reservoir budget scan over the whole clip
+  device: [jit C] batched RD loop per chunk (device-resident inputs)
+  host:   ONE compact device->host gather (q int16, amp/bt/cb int8),
+          then vectorized Huffman packing (models/packing.py)
+
+All chunk shapes are fixed, so the pipeline compiles to three executables
+total regardless of clip length (plus one tiny budget-scan variant per
+power-of-two chunk count).
 """
 from __future__ import annotations
 
 import functools
+import os as _os
+import sys as _sys
+import time as _time
 
 import jax
 import jax.numpy as jnp
@@ -22,115 +32,139 @@ import numpy as np
 from .. import config as C
 from .. import tables as T
 from ..config import CodecConfig
-from ..ops import dsp, entropy, psycho, quantize, rd
+from ..ops import dsp, entropy, psycho, rd, reservoir
 from ..spec import bitstream as spec_bitstream
 from ..spec import entropy as spec_entropy
-from ..spec import reservoir as spec_reservoir
 from ..utils.bits import BitWriter
 
-RD_CHUNK = 256          # frames per RD jit call (bounds [F,32,1024] temps)
-ANALYZE_CHUNK = 1024    # frames per analyze jit call
+ENC_CHUNK = int(_os.environ.get("MRC_ENC_CHUNK", 1024))  # frames per executable
 
-# Both stages run on fixed-size chunks (zero-padded) so each compiles to ONE
-# executable regardless of clip length — essential on the axon-tunnelled TPU
-# where a fresh compile costs 5-150 s (SURVEY.md §2b).
+_TIMING = bool(_os.environ.get("MRC_DEBUG_TIMING"))
 
 
-@jax.jit
-def _transient_stage(frames):
-    return dsp.detect_transients(frames)
+def _tlog(t0, msg):
+    if _TIMING:
+        print(f"[encode {_time.perf_counter() - t0:7.2f}s] {msg}",
+              file=_sys.stderr, flush=True)
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "full_psycho", "window"))
-def _analyze_stage(frames, bt, fs, full_psycho, window):
-    # HIGHEST keeps f32 matmul fidelity on the MXU (default would round
-    # through bfloat16 and diverge from the NumPy spec codec)
+def _block_types_dev(tr_ext, window_switching: bool):
+    """[CHUNK+2] transients (with true neighbour edges) -> [CHUNK] types."""
+    tr = tr_ext[1:-1]
+    if not window_switching:
+        return jnp.zeros(tr.shape, jnp.int32)
+    ls = tr_ext[:-2]
+    rs = tr_ext[2:]
+    return jnp.where(
+        tr, C.SHORT,
+        jnp.where(ls & rs, C.STARTSTOP,
+                  jnp.where(ls, C.STOP,
+                            jnp.where(rs, C.START, C.LONG)))).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "window_switching",
+                                             "full_psycho", "window"))
+def _analyze_chunk(audio_ext, fs, window_switching, full_psycho, window):
+    """One channel-chunk: [(ENC_CHUNK+3)*HOP] audio -> device decision inputs.
+
+    audio_ext covers frames [f0-1, f0+ENC_CHUNK+1) of the padded signal;
+    out-of-clip regions are zeros, which makes edge-frame transients
+    exactly False — identical to the spec codec's priming.
+    """
     with jax.default_matmul_precision("highest"):
+        idx = (np.arange(C.LONG_SIZE)[None, :]
+               + C.HOP * np.arange(ENC_CHUNK + 2)[:, None])
+        frames_ext = audio_ext[idx]                      # [CHUNK+2, 2048]
+        tr_ext = dsp.detect_transients(frames_ext)
+        bt = _block_types_dev(tr_ext, window_switching)
+        frames = frames_ext[1:-1]
         coeffs = dsp.analyze(frames, bt, window)
         allowed, pe, _ = psycho.analyze(frames, coeffs, bt, fs, full_psycho)
-    return coeffs, allowed, pe
+    return bt, coeffs, allowed, pe
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mean_bits", "cap", "use_reservoir"))
+def _budget_stage(pe, nf_real, mean_bits, cap, use_reservoir):
+    """[nf_pad] device PE + real frame count -> [nf_pad] int32 budgets.
+
+    Integer-exact mirror of spec/reservoir.allocate (padding frames have
+    pe == 0 and sit after the real frames, so they cannot disturb the
+    reservoir chain of real frames).
+    """
+    if not use_reservoir:
+        return jnp.full(pe.shape, mean_bits, jnp.int32)
+    pe_q = reservoir.quantize_pe(pe)
+    mean_pe = jnp.maximum(pe_q.sum() // nf_real, 1)
+    desired = reservoir.desired_bits(pe_q, mean_bits, mean_pe)
+    budgets, _ = reservoir.budgets_scan(desired, mean_bits, cap)
+    return budgets
 
 
 @functools.partial(jax.jit, static_argnames=("fs",))
-def _rd_stage(coeffs, allowed, budgets, bt, fs):
+def _rd_chunk(coeffs, allowed, budgets, bt, fs):
+    """RD + codebook choice; outputs in compact dtypes for the D2H hop."""
     with jax.default_matmul_precision("highest"):
         q, amp, gain, bits = rd.rd_batch(coeffs, allowed, budgets, bt, fs)
         cb, _ = entropy.payload_costs_and_choice(q, bt, fs)
-    return q, amp, gain, bits, cb
+    return (q.astype(jnp.int16), amp.astype(jnp.int8),
+            gain.astype(jnp.int16), bt.astype(jnp.int8),
+            cb.astype(jnp.int8), bits)
 
 
 def encode_arrays(x: np.ndarray, cfg: CodecConfig):
-    """PCM [n, ch] -> per-channel dict of numpy decision arrays.
-
-    Returns (decisions, nf) where decisions[ch] has q, amp, gain, bt.
-    """
+    """PCM [n, ch] -> dict of numpy decision arrays [nch, nf, ...], nf."""
+    t0 = _time.perf_counter()
     n, nch = x.shape
     nf = cfg.frames_for_samples(n)
+    n_chunks = -(-nf // ENC_CHUNK)
+    nf_pad = n_chunks * ENC_CHUNK
+    mean_bits = int(cfg.mean_frame_bits)
 
-    # Host framing per channel, then batch channels on the frame axis.
-    frames = np.stack([dsp.frame_signal(x[:, ch]) for ch in range(nch)])
-    frames = frames.reshape(nch * nf, C.LONG_SIZE)
-    total = nch * nf
+    # padded signal: [2*HOP zeros | x | zeros]; frame f spans
+    # P[(f+1)*HOP : (f+1)*HOP + LONG_SIZE]
+    plen = 2 * C.HOP + nf_pad * C.HOP + 2 * C.HOP + C.LONG_SIZE
+    ext_len = (ENC_CHUNK + 3) * C.HOP
 
-    def chunks(n, size):
-        pos = 0
-        while pos < n:
-            yield pos, min(pos + size, n)
-            pos += size
+    per_ch = []
+    for ch in range(nch):
+        P = np.zeros(plen, np.float32)
+        P[2 * C.HOP:2 * C.HOP + n] = x[:, ch]
+        bts, cos, als, pes = [], [], [], []
+        for c in range(n_chunks):
+            lo = c * ENC_CHUNK * C.HOP
+            sl = jnp.asarray(P[lo:lo + ext_len])
+            bt, co, al, pe = _analyze_chunk(
+                sl, cfg.fs, cfg.window_switching, cfg.full_psycho, cfg.window)
+            bts.append(bt)
+            cos.append(co)
+            als.append(al)
+            pes.append(pe)
+        pe_full = pes[0] if n_chunks == 1 else jnp.concatenate(pes)
+        budgets = _budget_stage(pe_full, jnp.int32(nf), mean_bits,
+                                cfg.reservoir_cap, cfg.reservoir)
+        outs = []
+        for c in range(n_chunks):
+            b = budgets[c * ENC_CHUNK:(c + 1) * ENC_CHUNK]
+            outs.append(_rd_chunk(cos[c], als[c], b, bts[c], cfg.fs))
+        per_ch.append(outs)
+    _tlog(t0, f"dispatched {nch}x{n_chunks} chunks")
 
-    # Transients per frame (independent), then block types per channel on
-    # the host (the neighbour logic must not cross channel boundaries).
-    tr_l = []
-    for lo, hi in chunks(total, ANALYZE_CHUNK):
-        fchunk = np.pad(frames[lo:hi], ((0, ANALYZE_CHUNK - (hi - lo)), (0, 0)))
-        tr_l.append(np.asarray(_transient_stage(jnp.asarray(fchunk))[:hi - lo]))
-    tr = np.concatenate(tr_l).reshape(nch, nf)
-    from ..spec.dsp import block_types as host_block_types
-    bt = np.stack([host_block_types(tr[ch], cfg.window_switching)
-                   for ch in range(nch)]).reshape(total)
-
-    co_l, al_l, pe_l = [], [], []
-    for lo, hi in chunks(total, ANALYZE_CHUNK):
-        pad = ANALYZE_CHUNK - (hi - lo)
-        fchunk = np.pad(frames[lo:hi], ((0, pad), (0, 0)))
-        btc = np.pad(bt[lo:hi], (0, pad))
-        coc, alc, pec = _analyze_stage(
-            jnp.asarray(fchunk), jnp.asarray(btc), cfg.fs,
-            cfg.full_psycho, cfg.window)
-        co_l.append(np.asarray(coc[:hi - lo]))
-        al_l.append(np.asarray(alc[:hi - lo]))
-        pe_l.append(np.asarray(pec[:hi - lo]))
-    coeffs = np.concatenate(co_l)
-    allowed = np.concatenate(al_l)
-    pe_np = np.concatenate(pe_l).reshape(nch, nf)
-    budgets = np.stack([spec_reservoir.allocate(pe_np[ch], cfg)
-                        for ch in range(nch)]).astype(np.int32)
-    budgets_dev = jnp.asarray(budgets.reshape(nch * nf))
-
-    # RD in fixed-size chunks.
-    total = nch * nf
-    outs = {k: [] for k in ("q", "amp", "gain", "bt")}
-    for lo in range(0, total, RD_CHUNK):
-        hi = min(lo + RD_CHUNK, total)
-        pad = RD_CHUNK - (hi - lo)
-        sl = slice(lo, hi)
-        c = jnp.pad(coeffs[sl], ((0, pad), (0, 0)))
-        a = jnp.pad(allowed[sl], ((0, pad), (0, 0)))
-        b = jnp.pad(budgets_dev[sl], (0, pad),
-                    constant_values=int(cfg.mean_frame_bits))
-        t = jnp.pad(bt[sl], (0, pad))
-        q, amp, gain, bits, cb = _rd_stage(c, a, b, t, cfg.fs)
-        outs["q"].append(np.asarray(q[:hi - lo]))
-        outs["amp"].append(np.asarray(amp[:hi - lo]))
-        outs["gain"].append(np.asarray(gain[:hi - lo]))
-        outs["bt"].append(np.asarray(t[:hi - lo]))
-    dec = {k: np.concatenate(v).reshape((nch, nf) + v[0].shape[1:])
-           for k, v in outs.items()}
+    # ONE synchronizing gather of the compact decision arrays.
+    host = jax.device_get(per_ch)
+    _tlog(t0, "device_get done")
+    dec = {}
+    for k, i in (("q", 0), ("amp", 1), ("gain", 2), ("bt", 3), ("cb", 4)):
+        arr = np.stack([np.concatenate([host[ch][c][i]
+                                        for c in range(n_chunks)])[:nf]
+                        for ch in range(nch)])
+        dec[k] = arr.astype(np.int32)
+    _tlog(t0, "decisions assembled")
     return dec, nf
 
 
 def pack_stream(dec, nf: int, n_samples: int, cfg: CodecConfig) -> bytes:
-    """Decision arrays -> MRC1 byte stream (host phase-b packing)."""
+    """Reference per-frame packer (slow; kept as the packing test oracle)."""
     nch = cfg.channels
     w = BitWriter()
     spec_bitstream.write_header(w, cfg, nf, n_samples)
@@ -155,6 +189,9 @@ def encode(x: np.ndarray, cfg: CodecConfig) -> bytes:
     if x.shape[1] != cfg.channels:
         raise ValueError(
             f"config expects {cfg.channels} channels, got {x.shape[1]}")
+    t0 = _time.perf_counter()
     dec, nf = encode_arrays(x, cfg)
     from .packing import pack_stream as pack_fast
-    return pack_fast(dec, nf, x.shape[0], cfg)
+    out = pack_fast(dec, nf, x.shape[0], cfg)
+    _tlog(t0, "packed")
+    return out

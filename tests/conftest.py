@@ -12,6 +12,10 @@ Set MRC_TESTS_KEEP_TPU=1 to run the suite against the real TPU instead
 """
 import os
 
+# small fixed-shape chunks: fast CPU tests + chunk-seam coverage
+os.environ.setdefault("MRC_ENC_CHUNK", "128")
+os.environ.setdefault("MRC_DEC_CHUNK", "128")
+
 if not os.environ.get("MRC_TESTS_KEEP_TPU"):
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
