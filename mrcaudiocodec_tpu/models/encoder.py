@@ -146,7 +146,10 @@ def encode_arrays(x: np.ndarray, cfg: CodecConfig):
         outs = []
         for c in range(n_chunks):
             b = budgets[c * ENC_CHUNK:(c + 1) * ENC_CHUNK]
-            outs.append(_rd_chunk(cos[c], als[c], b, bts[c], cfg.fs))
+            o = _rd_chunk(cos[c], als[c], b, bts[c], cfg.fs)
+            for a in o:          # overlap D2H with later chunks' compute
+                a.copy_to_host_async()
+            outs.append(o)
         per_ch.append(outs)
     _tlog(t0, f"dispatched {nch}x{n_chunks} chunks")
 

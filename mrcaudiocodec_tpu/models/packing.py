@@ -75,11 +75,12 @@ def _payload_slots(q: np.ndarray, cb_bin: np.ndarray):
     return codes, lens
 
 
-def pack_records(q, amp, gain, bt, fs: int):
+def pack_records(q, amp, gain, bt, fs: int, cb=None):
     """Decision arrays -> (codes, lens) flat arrays for all records.
 
     q: [R, 1024], amp: [R, NB], gain: [R], bt: [R]. Records are emitted in
-    array order; the caller interleaves channels by ordering R.
+    array order; the caller interleaves channels by ordering R. `cb` is the
+    per-band codebook choice; recomputed with the spec rule if omitted.
     """
     ca = T.code_arrays()
     lay = T.unified_layout(fs)
@@ -88,15 +89,16 @@ def pack_records(q, amp, gain, bt, fs: int):
     real = width > 0
     bin_band = lay["bin_band"][bt]                # [R, 1024]
 
-    # codebook choice per band (same integer rule as spec/ops); the spec
-    # chooser takes one edges table, so group records by block type
-    from ..spec import entropy as se
-    cb = np.zeros((r, nb), np.int32)
-    for t in np.unique(bt):
-        sel = bt == t
-        cb_t, _ = se.choose_codebooks(q[sel], lay["edges"][t],
-                                      lay["width"][t])
-        cb[sel] = cb_t
+    if cb is None:
+        # codebook choice per band (same integer rule as spec/ops); the
+        # spec chooser takes one edges table, so group records by type
+        from ..spec import entropy as se
+        cb = np.zeros((r, nb), np.int32)
+        for t in np.unique(bt):
+            sel = bt == t
+            cb_t, _ = se.choose_codebooks(q[sel], lay["edges"][t],
+                                          lay["width"][t])
+            cb[sel] = cb_t
 
     # --- header slots: [bt, gain]
     head_codes = np.stack([bt.astype(np.uint64), gain.astype(np.uint64)],
@@ -143,10 +145,24 @@ def pack_stream(dec, nf: int, n_samples: int, cfg: CodecConfig) -> bytes:
         # x: [nch, nf, ...] -> [nf * nch, ...]
         return np.swapaxes(np.asarray(x), 0, 1).reshape(
             (nf * nch,) + x.shape[2:])
-    codes, lens = pack_records(interleave(dec["q"]), interleave(dec["amp"]),
-                               interleave(dec["gain"]), interleave(dec["bt"]),
-                               cfg.fs)
+    cb = interleave(dec["cb"]) if "cb" in dec else None
     w = BitWriter()
     spec_bitstream.write_header(w, cfg, nf, n_samples)
     header = w.getvalue()
-    return header + pack_codes(codes, lens)
+    from .. import native
+    if cb is not None and native.available():
+        packed = native.pack_records_native(
+            interleave(dec["q"]).astype(np.int16),
+            interleave(dec["amp"]).astype(np.int8),
+            interleave(dec["gain"]).astype(np.int16),
+            interleave(dec["bt"]).astype(np.int8),
+            cb.astype(np.int8), cfg.fs)
+        if packed is not None:
+            return header + packed
+    codes, lens = pack_records(interleave(dec["q"]), interleave(dec["amp"]),
+                               interleave(dec["gain"]), interleave(dec["bt"]),
+                               cfg.fs, cb=cb)
+    packed = native.pack_codes_native(codes, lens)
+    if packed is None:
+        packed = pack_codes(codes, lens)
+    return header + packed

@@ -120,6 +120,63 @@ def decode_records(data: bytes, content_bit_offsets: np.ndarray, fs: int,
     return q, e_band, bt, gain
 
 
+def pack_records_native(q, amp, gain, bt, cb, fs: int,
+                        n_threads: int = 0) -> bytes | None:
+    """Emit all frame records (prefix+content+pad) natively, in parallel.
+
+    q [R,1024] int16, amp [R,NB] int8, gain [R] int16, bt [R] int8,
+    cb [R,NB] int8. Returns the concatenated record bytes, or None if the
+    native library is unavailable.
+    """
+    lib = _lib()
+    if lib is None:
+        return None
+    from .. import config as C
+    from .. import tables as T
+
+    ca = T.code_arrays()
+    lay = T.unified_layout(fs)
+    nb = int(lay["nb"])
+    r = q.shape[0]
+    rec_cap = 8192
+    out = np.zeros(r * rec_cap, np.uint8)
+    sizes = np.zeros(r, np.int64)
+    args = []
+    for book in ("small", "mid", "esc", "sf"):
+        args.append(_ptr(np.ascontiguousarray(ca[f"codes_{book}"], np.uint32),
+                         ctypes.c_uint32))
+        args.append(_ptr(np.ascontiguousarray(ca[f"len_{book}"], np.int32),
+                         ctypes.c_int32))
+    edges = np.ascontiguousarray(lay["edges"], np.int32)
+    width = np.ascontiguousarray(lay["width"], np.int32)
+    rc = lib.mrc_pack_records(
+        _ptr(np.ascontiguousarray(q, np.int16), ctypes.c_int16),
+        _ptr(np.ascontiguousarray(amp, np.int8), ctypes.c_int8),
+        _ptr(np.ascontiguousarray(gain, np.int16), ctypes.c_int16),
+        _ptr(np.ascontiguousarray(bt, np.int8), ctypes.c_int8),
+        _ptr(np.ascontiguousarray(cb, np.int8), ctypes.c_int8),
+        ctypes.c_int64(r), *args,
+        _ptr(edges, ctypes.c_int32), _ptr(width, ctypes.c_int32),
+        ctypes.c_int32(nb), ctypes.c_int32(C.LONG_COEFFS),
+        ctypes.c_int32(n_threads), ctypes.c_int64(rec_cap),
+        _ptr(out, ctypes.c_uint8), _ptr(sizes, ctypes.c_int64))
+    if rc != 0:
+        raise RuntimeError(f"native record pack failed ({rc})")
+    # concatenate the per-record byte runs
+    reps = sizes
+    idx = np.repeat(np.arange(r) * rec_cap, reps) + _ranges(reps)
+    return out[idx].tobytes()
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[c0, c1, ...] -> [0..c0), [0..c1), ... concatenated."""
+    total = int(counts.sum())
+    ends = np.cumsum(counts)
+    out = np.arange(total)
+    out -= np.repeat(ends - counts, counts)
+    return out
+
+
 def pack_codes_native(codes: np.ndarray, lengths: np.ndarray) -> bytes | None:
     """Native MSB-first packer; returns None if unavailable."""
     lib = _lib()

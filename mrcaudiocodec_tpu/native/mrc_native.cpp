@@ -207,6 +207,147 @@ int mrc_decode_records(
     return err.load();
 }
 
+namespace {
+
+struct BitEmitter {
+    uint8_t* buf;
+    int64_t bitpos = 0;
+
+    inline void put(uint64_t code, int len) {
+        int64_t p = bitpos;
+        bitpos += len;
+        for (int i = len - 1; i >= 0; --i, ++p) {
+            uint8_t bit = (code >> i) & 1u;
+            buf[p >> 3] = (uint8_t)((buf[p >> 3] & ~(1u << (7 - (p & 7))))
+                                    | (bit << (7 - (p & 7))));
+        }
+    }
+};
+
+struct EncTables {
+    const uint32_t *codes_small, *codes_mid, *codes_esc, *codes_sf;
+    const int32_t *len_small, *len_mid, *len_esc, *len_sf;
+    const int32_t *edges, *width;   // [5][nb+1], [5][nb]
+    int32_t nb, n_coeffs;
+};
+
+// Emit one record (prefix + content + byte pad) into rec_buf.
+// Returns total bytes used.
+int64_t emit_record(const int16_t* q, const int8_t* amp, int16_t gain,
+                    int8_t bt, const int8_t* cb, const EncTables& t,
+                    uint8_t* rec_buf, int64_t cap_bytes) {
+    std::memset(rec_buf, 0, cap_bytes);
+    BitEmitter be{rec_buf, 20};                 // leave room for the prefix
+    const int32_t* edges = t.edges + bt * (t.nb + 1);
+    const int32_t* width = t.width + bt * t.nb;
+    be.put((uint32_t)bt, 3);
+    be.put((uint32_t)gain, 8);
+    for (int b = 0; b < t.nb; ++b)
+        if (width[b] > 0) be.put((uint32_t)cb[b], 2);
+    int prev = 0;
+    for (int b = 0; b < t.nb; ++b) {
+        if (width[b] <= 0) continue;
+        int a = amp[b];
+        int delta = prev - a + 60;
+        be.put(t.codes_sf[delta], t.len_sf[delta]);
+        prev = a;
+    }
+    for (int b = 0; b < t.nb; ++b) {
+        if (width[b] <= 0 || cb[b] == 0) continue;
+        const int lo = edges[b], hi = edges[b + 1];
+        if (cb[b] == 1) {
+            for (int i = lo; i < hi; i += 4) {
+                int s = 0;
+                for (int d = 0; d < 4; ++d) {
+                    int v = q[i + d];
+                    v = v < -1 ? -1 : (v > 1 ? 1 : v);
+                    s = s * 3 + (v + 1);
+                }
+                be.put(t.codes_small[s], t.len_small[s]);
+            }
+        } else if (cb[b] == 2) {
+            for (int i = lo; i < hi; i += 2) {
+                int a0 = q[i] + 4, a1 = q[i + 1] + 4;
+                int s = a0 * 9 + a1;
+                be.put(t.codes_mid[s], t.len_mid[s]);
+            }
+        } else {
+            for (int i = lo; i < hi; i += 2) {
+                int v0 = q[i], v1 = q[i + 1];
+                int m0 = v0 < 0 ? -v0 : v0, m1 = v1 < 0 ? -v1 : v1;
+                int c0 = m0 > 16 ? 16 : m0, c1 = m1 > 16 ? 16 : m1;
+                int s = c0 * 17 + c1;
+                be.put(t.codes_esc[s], t.len_esc[s]);
+                if (m0) be.put(v0 < 0 ? 1u : 0u, 1);
+                if (m1) be.put(v1 < 0 ? 1u : 0u, 1);
+                for (int m : {m0, m1}) {
+                    if (m >= 16) {
+                        int e = 31 - __builtin_clz((unsigned)m);
+                        be.put(((1u << (e - 4)) - 1) << 1, e - 3);
+                        be.put((uint32_t)(m - (1 << e)), e);
+                    }
+                }
+            }
+        }
+    }
+    int64_t content = be.bitpos - 20;
+    // patch the 20-bit length prefix at the front
+    for (int i = 0; i < 20; ++i) {
+        int64_t p = i;
+        uint8_t bit = (uint8_t)((content >> (19 - i)) & 1);
+        rec_buf[p >> 3] = (uint8_t)((rec_buf[p >> 3]
+                                     & ~(1u << (7 - (p & 7))))
+                                    | (bit << (7 - (p & 7))));
+    }
+    return (be.bitpos + 7) / 8;
+}
+
+}  // namespace
+
+// Pack all records into out. rec_cap = per-record scratch bytes.
+// out must hold n_records * rec_cap bytes; out_sizes[i] = record bytes.
+// Returns 0, or 1 if any record overflowed rec_cap.
+int mrc_pack_records(
+    const int16_t* q, const int8_t* amp, const int16_t* gain,
+    const int8_t* bt, const int8_t* cb, int64_t n_records,
+    const uint32_t* codes_small, const int32_t* len_small,
+    const uint32_t* codes_mid, const int32_t* len_mid,
+    const uint32_t* codes_esc, const int32_t* len_esc,
+    const uint32_t* codes_sf, const int32_t* len_sf,
+    const int32_t* edges, const int32_t* width, int32_t nb, int32_t n_coeffs,
+    int32_t n_threads, int64_t rec_cap,
+    uint8_t* out, int64_t* out_sizes) {
+    EncTables t{codes_small, codes_mid, codes_esc, codes_sf,
+                len_small, len_mid, len_esc, len_sf,
+                edges, width, nb, n_coeffs};
+    // worst-case content check: QMAX escapes ~ 45 bits/pair
+    std::atomic<int64_t> next(0);
+    std::atomic<int> err(0);
+    int nt = n_threads > 0 ? n_threads
+                           : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (nt > n_records) nt = (int)n_records;
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n_records || err.load()) break;
+            int64_t sz = emit_record(q + i * n_coeffs, amp + i * nb,
+                                     gain[i], bt[i], cb + i * nb, t,
+                                     out + i * rec_cap, rec_cap);
+            if (sz > rec_cap) { err.store(1); break; }
+            out_sizes[i] = sz;
+        }
+    };
+    if (nt == 1) {
+        worker();
+    } else {
+        std::vector<std::thread> th;
+        for (int k = 0; k < nt; ++k) th.emplace_back(worker);
+        for (auto& th1 : th) th1.join();
+    }
+    return err.load();
+}
+
 // MSB-first pack of (code, len) pairs into out (caller sizes it).
 // Returns total bits written.
 int64_t mrc_pack_codes(const uint64_t* codes, const int64_t* lens,

@@ -51,6 +51,46 @@ def _band_sum_int(per_item: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
         jnp.take_along_axis(cs, edges[..., :-1], axis=-1)
 
 
+def lut(table: np.ndarray, sym: jnp.ndarray) -> jnp.ndarray:
+    """Exact small-table lookup as a fused masked sum (TPU gathers are
+    catastrophically slow; this compare/select/add chain fuses on the VPU).
+
+    table: [n] int; sym: [...] int32 in [0, n). Returns int32.
+    """
+    tab = np.asarray(table)
+    out = jnp.zeros(sym.shape, I32)
+    for s in range(len(tab)):
+        v = int(tab[s])
+        if v:
+            out = out + jnp.where(sym == s, I32(v), I32(0))
+    return out
+
+
+def _select_by_bt(tables5: np.ndarray, bt: jnp.ndarray) -> jnp.ndarray:
+    """tables5 [5, ...] constant + bt [F] -> [F, ...] (branchless select)."""
+    t5 = jnp.asarray(tables5)
+    out = jnp.zeros((bt.shape[0],) + t5.shape[1:], t5.dtype)
+    for t in range(t5.shape[0]):
+        sel = (bt == t).astype(t5.dtype).reshape(
+            (-1,) + (1,) * (t5.ndim - 1))
+        out = out + sel * t5[t][None]
+    return out
+
+
+def band_sum_mm(per_item: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Integer-exact band reduction as a bf16 mask matmul on the MXU.
+
+    per_item: [F, ..., T] int values <= 256; mask: [F, T, NB] 0/1 bf16.
+    Products are exact in bf16 and accumulate in f32 (< 2^24), so the
+    result is exact. Returns int32 [F, ..., NB].
+    """
+    lhs = per_item.astype(jnp.bfloat16)
+    out = jnp.einsum("f...t,ftn->f...n", lhs, mask,
+                     precision=jax.lax.Precision.DEFAULT,
+                     preferred_element_type=jnp.float32)
+    return out.astype(I32)
+
+
 def escape_bits(mag: jnp.ndarray) -> jnp.ndarray:
     """Escape suffix bits per value: integer-exact (no float log2)."""
     m = jnp.abs(mag)
@@ -61,50 +101,62 @@ def escape_bits(mag: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(m >= C.ESC_MAG, 2 * e - 3, 0)
 
 
-def payload_costs_and_choice(q: jnp.ndarray, bt: jnp.ndarray, fs: int):
+def payload_costs_and_choice(q: jnp.ndarray, bt: jnp.ndarray, fs: int,
+                             masks=None):
     """Quantized frames -> per-band codebook choice and payload bits.
 
-    q: [..., 1024] int32, bt: [...] int32 block types (leading axes shared).
-    Returns (cb[..., NB] int32, payload[..., NB] int32).
+    q: [F, ..., 1024] int32, bt: [F] int32 block types (first axis shared;
+    q may carry extra middle axes, e.g. a gain-candidate axis).
+    Returns (cb[F, ..., NB] int32, payload[F, ..., NB] int32).
+
+    All reductions are masked-sum lookups + bf16 mask matmuls (exact); no
+    gathers — TPU gathers made the original formulation ~500x slower.
     """
     tb = _dev_tables(fs)
+    lay = T.unified_layout(fs)
     lead = q.shape[:-1]
-    edges = jnp.asarray(tb["edges"])[bt]          # [..., NB+1]
-    e4 = jnp.asarray(tb["edges4"])[bt]
-    e2 = jnp.asarray(tb["edges2"])[bt]
-    width = jnp.asarray(tb["width"])[bt]          # [..., NB]
+    if masks is None:
+        mask2 = _select_by_bt(lay["mask2"], bt).astype(jnp.bfloat16)
+        mask4 = _select_by_bt(lay["mask4"], bt).astype(jnp.bfloat16)
+    else:
+        mask2, mask4 = masks
+    width = _select_by_bt(tb["width"], bt)        # [F, NB]
+    wshape = (width.shape[0],) + (1,) * (len(lead) - 1) + (width.shape[-1],)
+    width = width.reshape(wshape)
 
     aq = jnp.abs(q)
     # CB_SMALL: 4-tuples of clipped values
     c = jnp.clip(q, -1, 1) + 1
     t4 = c.reshape(lead + (-1, 4))
     sym1 = ((t4[..., 0] * 3 + t4[..., 1]) * 3 + t4[..., 2]) * 3 + t4[..., 3]
-    bits1 = _band_sum_int(jnp.take(jnp.asarray(tb["len_small"]), sym1), e4)
+    bits1 = band_sum_mm(lut(tb["len_small"], sym1), mask4)
     # CB_MID: pairs
     c2 = jnp.clip(q, -4, 4) + 4
     t2 = c2.reshape(lead + (-1, 2))
     sym2 = t2[..., 0] * 9 + t2[..., 1]
-    bits2 = _band_sum_int(jnp.take(jnp.asarray(tb["len_mid"]), sym2), e2)
+    bits2 = band_sum_mm(lut(tb["len_mid"], sym2), mask2)
     # CB_ESC: magnitude pairs + signs + escapes
     m2 = jnp.minimum(aq, C.ESC_MAG).reshape(lead + (-1, 2))
     sym3 = m2[..., 0] * (C.ESC_MAG + 1) + m2[..., 1]
-    qp = q.reshape(lead + (-1, 2))
-    esc = (jnp.take(jnp.asarray(tb["len_esc"]), sym3)
+    qp = aq.reshape(lead + (-1, 2))
+    esc = (lut(tb["len_esc"], sym3)
            + (qp[..., 0] != 0).astype(I32) + (qp[..., 1] != 0).astype(I32)
            + escape_bits(qp[..., 0]) + escape_bits(qp[..., 1]))
-    bits3 = _band_sum_int(esc, e2)
+    bits3 = band_sum_mm(esc, mask2)
 
-    # validity via integer counts (exact)
-    n_gt0 = _band_sum_int((aq > 0).astype(I32), edges)
-    n_gt1 = _band_sum_int((aq > 1).astype(I32), edges)
-    n_gt4 = _band_sum_int((aq > 4).astype(I32), edges)
+    # validity via integer pair counts (exact; <= 2 per pair)
+    pair = lambda pred: (pred.reshape(lead + (-1, 2))[..., 0].astype(I32)
+                         + pred.reshape(lead + (-1, 2))[..., 1].astype(I32))
+    n_gt0 = band_sum_mm(pair(aq > 0), mask2)
+    n_gt1 = band_sum_mm(pair(aq > 1), mask2)
+    n_gt4 = band_sum_mm(pair(aq > 4), mask2)
 
     costs = jnp.stack([jnp.zeros_like(bits1), bits1, bits2, bits3], axis=-1)
     valid = jnp.stack([n_gt0 == 0, n_gt1 == 0, n_gt4 == 0,
                        jnp.ones_like(n_gt0, dtype=bool)], axis=-1)
     masked = jnp.where(valid, costs, BIG)
     cb = jnp.argmin(masked, axis=-1).astype(I32)
-    payload = jnp.take_along_axis(masked, cb[..., None], axis=-1)[..., 0]
+    payload = jnp.min(masked, axis=-1)
     empty = width == 0
     cb = jnp.where(empty, 0, cb)
     payload = jnp.where(empty, 0, payload)
@@ -113,21 +165,24 @@ def payload_costs_and_choice(q: jnp.ndarray, bt: jnp.ndarray, fs: int):
 
 def sf_delta_bits(amp: jnp.ndarray, width: jnp.ndarray) -> jnp.ndarray:
     """[..., NB] amp + width -> [...] total scale-factor bits (exact)."""
-    tb_sf = jnp.asarray(np.asarray(T.code_arrays()["len_sf"], np.int32))
+    tb_sf = np.asarray(T.code_arrays()["len_sf"], np.int32)
     real = width > 0
     a = jnp.where(real, amp, 0)
     prev = jnp.concatenate([jnp.zeros_like(a[..., :1]), a[..., :-1]], axis=-1)
     delta = prev - a
-    bits = jnp.take(tb_sf, delta + C.SF_DELTA_MAX)
+    bits = lut(tb_sf, delta + C.SF_DELTA_MAX)
     return jnp.where(real, bits, 0).sum(axis=-1)
 
 
 def frame_content_bits(q: jnp.ndarray, amp: jnp.ndarray, bt: jnp.ndarray,
-                       fs: int) -> jnp.ndarray:
+                       fs: int, masks=None) -> jnp.ndarray:
     """Exact frame content bit count. q: [..., 1024], amp: [..., NB]."""
     tb = _dev_tables(fs)
-    width = jnp.asarray(tb["width"])[bt]
-    nreal = jnp.asarray(tb["nreal"])[bt]
-    _, payload = payload_costs_and_choice(q, bt, fs)
+    width = _select_by_bt(tb["width"], bt)
+    nreal = lut(tb["nreal"], bt)
+    _, payload = payload_costs_and_choice(q, bt, fs, masks=masks)
     fixed = C.BLOCK_TYPE_BITS + C.GAIN_BITS + C.CB_BITS * nreal
-    return fixed + sf_delta_bits(amp, width) + payload.sum(axis=-1)
+    wshape = (width.shape[0],) + (1,) * (q.ndim - 2) + (width.shape[-1],)
+    sf = sf_delta_bits(amp, width.reshape(wshape))
+    fshape = (nreal.shape[0],) + (1,) * (q.ndim - 2)
+    return fixed.reshape(fshape) + sf + payload.sum(axis=-1)

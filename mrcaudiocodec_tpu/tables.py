@@ -219,10 +219,15 @@ def unified_layout(fs: int):
                          dtype=np.float32)
     for bt in range(C.N_BLOCK_TYPES):
         band_mask[bt, np.arange(C.LONG_COEFFS), bin_band[bt]] = 1.0
+    # tuple-granular membership (pairs / 4-tuples never straddle bands
+    # because all edges are multiples of 4)
+    mask2 = band_mask[:, ::2, :].copy()
+    mask4 = band_mask[:, ::4, :].copy()
     return {
         "nb": nb, "nb_long": nb_long, "nb_short": nb_short,
         "edges": edges, "bin_band": bin_band, "width": width,
         "group_of": group_of, "band_mask": band_mask,
+        "mask2": mask2, "mask4": mask4,
     }
 
 
