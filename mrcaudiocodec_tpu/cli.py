@@ -49,9 +49,9 @@ def _get_engine(name: str):
 
 
 def cmd_encode(args) -> int:
-    x, fs = audiofile.read_wav(args.infile)
-    cfg = _build_cfg(args, fs, x.shape[1])
     eng, name = _get_engine(args.engine)
+    x, fs = audiofile.read_wav(args.infile, raw_int16=(name == "tpu"))
+    cfg = _build_cfg(args, fs, x.shape[1])
     t0 = time.perf_counter()
     data = eng.encode(x, cfg)
     dt = time.perf_counter() - t0
@@ -70,7 +70,10 @@ def cmd_decode(args) -> int:
         data = f.read()
     eng, name = _get_engine(args.engine)
     t0 = time.perf_counter()
-    x, cfg = eng.decode(data)
+    if name == "tpu":
+        x, cfg = eng.decode(data, pcm_dtype="int16")
+    else:
+        x, cfg = eng.decode(data)
     dt = time.perf_counter() - t0
     audiofile.write_wav(args.outfile, x, cfg.fs)
     dur = x.shape[0] / cfg.fs

@@ -24,16 +24,24 @@ import os as _os
 DEC_CHUNK = int(_os.environ.get("MRC_DEC_CHUNK", 1024))
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "window"))
-def _synth_chunk(q, e_band, bt, fs, window):
+@functools.partial(jax.jit, static_argnames=("fs", "window", "pcm16"))
+def _synth_chunk(q, e_band, bt, carry_in, fs, window, pcm16):
     """[CHUNK,1024] i16 q + [CHUNK,NB] i16 exponents + [CHUNK] i8 types
-    -> overlap-added chunk signal [(CHUNK+1) * HOP] float32."""
+    + [HOP] f32 seam carry -> (pcm [CHUNK*HOP], carry_out [HOP] f32).
+
+    pcm is int16 (write-ready, rounded after all overlap-adds) when pcm16,
+    else float32. The seam between chunks stays in float via the carry.
+    """
     with jax.default_matmul_precision("highest"):
+        from ..ops.entropy import _select_by_bt
         lay = T.unified_layout(fs)
         bt = bt.astype(jnp.int32)
-        bin_band = jnp.asarray(lay["bin_band"])[bt]
-        e_bin = jnp.take_along_axis(e_band.astype(jnp.int32), bin_band,
-                                    axis=-1)
+        bin_mask = _select_by_bt(lay["band_mask"], bt).astype(jnp.bfloat16)
+        e_bin = jnp.einsum("fn,fin->fi", e_band.astype(jnp.bfloat16),
+                           bin_mask,
+                           precision=jax.lax.Precision.DEFAULT,
+                           preferred_element_type=jnp.float32).astype(
+                               jnp.int32)
         xhat = quantize.dequantize(q.astype(jnp.int32), e_bin)
         frames = dsp.synthesize(xhat, bt, window)        # [CHUNK, 2048]
         first = frames[:, :C.HOP]
@@ -41,11 +49,20 @@ def _synth_chunk(q, e_band, bt, fs, window):
         y = jnp.concatenate(
             [first, jnp.zeros((1, C.HOP), jnp.float32)], axis=0)
         y = y.at[1:].add(second)
-        return y.reshape(-1)
+        y = y.at[0].add(carry_in)
+        flat = y.reshape(-1)
+        pcm, carry_out = flat[:-C.HOP], flat[-C.HOP:]
+        if pcm16:
+            pcm = jnp.clip(jnp.round(pcm * 32767.0), -32768, 32767).astype(
+                jnp.int16)
+        return pcm, carry_out
 
 
-def decode(data: bytes):
-    """MRC1 bytes -> (pcm [n, channels] float32, cfg). TPU synthesis path."""
+def decode(data: bytes, pcm_dtype="float32"):
+    """MRC1 bytes -> (pcm [n, channels], cfg). TPU synthesis path.
+
+    pcm_dtype="int16" returns write-ready 16-bit PCM (half the
+    device->host bytes; rounding happens on device after overlap-add)."""
     cfg, nf, n_samples, hdr_bits = spec_bitstream.read_header(data)
     nch = cfg.channels
     offs, lens = spec_bitstream.frame_byte_offsets(
@@ -80,9 +97,10 @@ def decode(data: bytes):
     e_band = e_band.reshape(nf, nch, -1)
     bt = bt.reshape(nf, nch)
 
+    pcm16 = (pcm_dtype == "int16")
     n_chunks = -(-nf // DEC_CHUNK)
     nf_pad = n_chunks * DEC_CHUNK
-    out = np.zeros((n_samples, nch), np.float32)
+    out = np.zeros((n_samples, nch), np.int16 if pcm16 else np.float32)
     for ch in range(nch):
         qc = np.zeros((nf_pad, C.LONG_COEFFS), np.int16)
         ec = np.zeros((nf_pad, nb), np.int16)
@@ -90,14 +108,16 @@ def decode(data: bytes):
         qc[:nf] = q[:, ch]
         ec[:nf] = e_band[:, ch]
         bc[:nf] = bt[:, ch]
-        P = np.zeros((nf_pad + 1) * C.HOP, np.float32)
+        carry = jnp.zeros(C.HOP, jnp.float32)
+        chunks_out = []
         for c in range(n_chunks):
             sl = slice(c * DEC_CHUNK, (c + 1) * DEC_CHUNK)
-            y = np.asarray(_synth_chunk(jnp.asarray(qc[sl]),
-                                        jnp.asarray(ec[sl]),
-                                        jnp.asarray(bc[sl]),
-                                        cfg.fs, cfg.window))
-            P[c * DEC_CHUNK * C.HOP:
-              (c * DEC_CHUNK + DEC_CHUNK + 1) * C.HOP] += y
+            pcm, carry = _synth_chunk(jnp.asarray(qc[sl]),
+                                      jnp.asarray(ec[sl]),
+                                      jnp.asarray(bc[sl]), carry,
+                                      cfg.fs, cfg.window, pcm16)
+            pcm.copy_to_host_async()
+            chunks_out.append(pcm)
+        P = np.concatenate([np.asarray(p) for p in chunks_out])
         out[:, ch] = P[C.HOP:C.HOP + n_samples]
     return out, cfg

@@ -70,8 +70,15 @@ def _analyze_chunk(audio_ext, fs, window_switching, full_psycho, window):
     audio_ext covers frames [f0-1, f0+ENC_CHUNK+1) of the padded signal;
     out-of-clip regions are zeros, which makes edge-frame transients
     exactly False — identical to the spec codec's priming.
+
+    int16 input is converted on device as x / 32768 (exact powers of two:
+    bit-identical to the host float path for 16-bit sources, at half the
+    upload bytes).
     """
     with jax.default_matmul_precision("highest"):
+        if audio_ext.dtype == jnp.int16:
+            audio_ext = audio_ext.astype(jnp.float32) * jnp.float32(
+                1.0 / 32768.0)
         idx = (np.arange(C.LONG_SIZE)[None, :]
                + C.HOP * np.arange(ENC_CHUNK + 2)[:, None])
         frames_ext = audio_ext[idx]                      # [CHUNK+2, 2048]
@@ -126,9 +133,10 @@ def encode_arrays(x: np.ndarray, cfg: CodecConfig):
     plen = 2 * C.HOP + nf_pad * C.HOP + 2 * C.HOP + C.LONG_SIZE
     ext_len = (ENC_CHUNK + 3) * C.HOP
 
+    dtype = np.int16 if x.dtype == np.int16 else np.float32
     per_ch = []
     for ch in range(nch):
-        P = np.zeros(plen, np.float32)
+        P = np.zeros(plen, dtype)
         P[2 * C.HOP:2 * C.HOP + n] = x[:, ch]
         bts, cos, als, pes = [], [], [], []
         for c in range(n_chunks):
@@ -185,8 +193,12 @@ def pack_stream(dec, nf: int, n_samples: int, cfg: CodecConfig) -> bytes:
 
 
 def encode(x: np.ndarray, cfg: CodecConfig) -> bytes:
-    """PCM [n] or [n, channels] float32 -> MRC1 bytes (TPU path)."""
-    x = np.asarray(x, dtype=np.float32)
+    """PCM [n] or [n, channels], float32 in [-1,1] or raw int16 -> MRC1
+    bytes (TPU path). int16 input skips the host float conversion and
+    uploads half the bytes."""
+    x = np.asarray(x)
+    if x.dtype != np.int16:
+        x = x.astype(np.float32)
     if x.ndim == 1:
         x = x[:, None]
     if x.shape[1] != cfg.channels:

@@ -10,8 +10,12 @@ import numpy as np
 F32 = np.float32
 
 
-def read_wav(path: str):
-    """-> (pcm [n, channels] float32 in [-1, 1], fs)."""
+def read_wav(path: str, raw_int16: bool = False):
+    """-> (pcm [n, channels], fs).
+
+    Returns float32 in [-1, 1]; with raw_int16=True, 16-bit sources are
+    returned as int16 instead (the TPU engine converts on device — exact
+    and half the upload bytes)."""
     try:
         from scipy.io import wavfile
         fs, data = wavfile.read(path)
@@ -25,6 +29,8 @@ def read_wav(path: str):
     if data.ndim == 1:
         data = data[:, None]
     if data.dtype == np.int16:
+        if raw_int16:
+            return data, int(fs)
         x = data.astype(F32) / F32(32768.0)
     elif data.dtype == np.int32:
         x = data.astype(F32) / F32(2147483648.0)
@@ -36,9 +42,13 @@ def read_wav(path: str):
 
 
 def write_wav(path: str, x: np.ndarray, fs: int) -> None:
-    """float32 [n] or [n, ch] in [-1, 1] -> 16-bit PCM WAV."""
-    x = np.asarray(x, dtype=F32)
-    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
+    """float32 [n] or [n, ch] in [-1, 1] (or ready int16) -> 16-bit WAV."""
+    x = np.asarray(x)
+    if x.dtype == np.int16:
+        pcm = x
+    else:
+        x = x.astype(F32)
+        pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
     try:
         from scipy.io import wavfile
         wavfile.write(path, fs, pcm)
