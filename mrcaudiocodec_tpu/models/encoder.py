@@ -79,8 +79,9 @@ def _analyze_chunk(audio_ext, fs, window_switching, full_psycho, window):
         if audio_ext.dtype == jnp.int16:
             audio_ext = audio_ext.astype(jnp.float32) * jnp.float32(
                 1.0 / 32768.0)
+        chunk_frames = audio_ext.shape[0] // C.HOP - 3
         idx = (np.arange(C.LONG_SIZE)[None, :]
-               + C.HOP * np.arange(ENC_CHUNK + 2)[:, None])
+               + C.HOP * np.arange(chunk_frames + 2)[:, None])
         frames_ext = audio_ext[idx]                      # [CHUNK+2, 2048]
         tr_ext = dsp.detect_transients(frames_ext)
         bt = _block_types_dev(tr_ext, window_switching)
@@ -119,19 +120,31 @@ def _rd_chunk(coeffs, allowed, budgets, bt, fs):
             cb.astype(jnp.int8), bits)
 
 
+def _chunk_schedule(nf: int):
+    """Cover nf frames with big chunks plus small tail chunks (bounds the
+    zero-padding waste to < SMALL frames while keeping the executable count
+    at two sizes)."""
+    small = max(ENC_CHUNK // 4, 16)
+    sizes = [ENC_CHUNK] * (nf // ENC_CHUNK)
+    rem = nf - sum(sizes)
+    sizes += [small] * (-(-rem // small)) if rem else []
+    return sizes or [small]
+
+
 def encode_arrays(x: np.ndarray, cfg: CodecConfig):
     """PCM [n, ch] -> dict of numpy decision arrays [nch, nf, ...], nf."""
     t0 = _time.perf_counter()
     n, nch = x.shape
     nf = cfg.frames_for_samples(n)
-    n_chunks = -(-nf // ENC_CHUNK)
-    nf_pad = n_chunks * ENC_CHUNK
+    sizes = _chunk_schedule(nf)
+    n_chunks = len(sizes)
+    starts = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+    nf_pad = int(starts[-1])
     mean_bits = int(cfg.mean_frame_bits)
 
     # padded signal: [2*HOP zeros | x | zeros]; frame f spans
     # P[(f+1)*HOP : (f+1)*HOP + LONG_SIZE]
     plen = 2 * C.HOP + nf_pad * C.HOP + 2 * C.HOP + C.LONG_SIZE
-    ext_len = (ENC_CHUNK + 3) * C.HOP
 
     dtype = np.int16 if x.dtype == np.int16 else np.float32
     per_ch = []
@@ -140,8 +153,8 @@ def encode_arrays(x: np.ndarray, cfg: CodecConfig):
         P[2 * C.HOP:2 * C.HOP + n] = x[:, ch]
         bts, cos, als, pes = [], [], [], []
         for c in range(n_chunks):
-            lo = c * ENC_CHUNK * C.HOP
-            sl = jnp.asarray(P[lo:lo + ext_len])
+            lo = int(starts[c]) * C.HOP
+            sl = jnp.asarray(P[lo:lo + (sizes[c] + 3) * C.HOP])
             bt, co, al, pe = _analyze_chunk(
                 sl, cfg.fs, cfg.window_switching, cfg.full_psycho, cfg.window)
             bts.append(bt)
@@ -153,13 +166,13 @@ def encode_arrays(x: np.ndarray, cfg: CodecConfig):
                                 cfg.reservoir_cap, cfg.reservoir)
         outs = []
         for c in range(n_chunks):
-            b = budgets[c * ENC_CHUNK:(c + 1) * ENC_CHUNK]
+            b = budgets[int(starts[c]):int(starts[c + 1])]
             o = _rd_chunk(cos[c], als[c], b, bts[c], cfg.fs)
             for a in o:          # overlap D2H with later chunks' compute
                 a.copy_to_host_async()
             outs.append(o)
         per_ch.append(outs)
-    _tlog(t0, f"dispatched {nch}x{n_chunks} chunks")
+    _tlog(t0, f"dispatched {nch}x{n_chunks} chunks {sizes}")
 
     # ONE synchronizing gather of the compact decision arrays.
     host = jax.device_get(per_ch)

@@ -80,11 +80,39 @@ def inner_gain_search(x, amp, budget_content, bt, fs, masks=None,
     return gain, q, bits
 
 
+def refine_gain_search(x, amp, budget_content, prev_gain, bt, fs,
+                       masks=None, bin_mask=None):
+    """Windowed re-search for outer iterations 2+ (mirror of
+    spec.rd.refine_gain_search): candidates [prev, prev+REFINE_WINDOW]
+    clipped, with GAIN_MAX as guaranteed-fit fallback."""
+    from ..spec.rd import REFINE_WINDOW
+    offs = np.concatenate([np.arange(REFINE_WINDOW + 1, dtype=np.int32),
+                           [0]])
+    cand = jnp.minimum(prev_gain[:, None] + jnp.asarray(offs)[None, :],
+                       C.GAIN_MAX)
+    cand = cand.at[:, -1].set(C.GAIN_MAX)
+    bits_c, q_c = _bits_for_gains(x, amp, cand, bt, fs, masks, bin_mask)
+    fits = bits_c <= budget_content[:, None]
+    idx = jnp.where(fits.any(axis=1), jnp.argmax(fits, axis=1),
+                    cand.shape[1] - 1)
+    onehot = jnp.arange(cand.shape[1])[None, :] == idx[:, None]
+    gain = jnp.sum(jnp.where(onehot, cand, 0), axis=1).astype(I32)
+    bits = jnp.sum(jnp.where(onehot, bits_c, 0), axis=1)
+    q = jnp.sum(jnp.where(onehot[:, :, None], q_c, 0), axis=1)
+    return gain, q, bits
+
+
 def rd_batch(coeffs, allowed, budgets, bt, fs):
     """Batched RD search.
 
     coeffs [F, 1024] f32, allowed [F, NB] f32, budgets [F] int32, bt [F].
     Returns (q [F,1024] i32, amp [F,NB] i32, gain [F] i32, bits [F] i32).
+
+    Iteration 1 runs the full two-stage sweep; iterations 2+ run the
+    narrow windowed re-search inside a `lax.while_loop` that exits as soon
+    as every frame's noise is under its mask (converged frames' states are
+    fixed points of the body, so the early exit is decision-identical to
+    the fixed-bound loop and to the spec codec).
     """
     lay = T.unified_layout(fs)
     tb = entropy._dev_tables(fs)
@@ -96,22 +124,33 @@ def rd_batch(coeffs, allowed, budgets, bt, fs):
     masks = (mask2, mask4)
     budget_content = (budgets - C.FRAME_LEN_BITS - 7).astype(I32)
     nf, nb = coeffs.shape[0], lay["nb"]
-    amp = jnp.zeros((nf, nb), I32)
-
     x = coeffs.astype(F32)
-    gain = jnp.zeros((nf,), I32)
-    q = jnp.zeros((nf, C.LONG_COEFFS), I32)
-    bits = jnp.zeros((nf,), I32)
-    for it in range(C.OUTER_MAX):
-        gain, q, bits = inner_gain_search(x, amp, budget_content, bt, fs,
-                                          masks, bin_mask)
-        if it == C.OUTER_MAX - 1:
-            break
+
+    def over_mask(gain, q, amp):
         e_bin = _e_bin_for(gain[:, None], amp, bin_mask)[:, 0]
         xhat = quantize.dequantize(q, e_bin)
         err = (x - xhat) ** 2
         noise = jnp.einsum("fi,fin->fn", err, bin_mask.astype(F32),
                            precision=jax.lax.Precision.HIGHEST)
-        over = (noise > allowed) & (width > 0) & (amp < C.AMP_MAX)
+        return (noise > allowed) & (width > 0) & (amp < C.AMP_MAX)
+
+    amp = jnp.zeros((nf, nb), I32)
+    gain, q, bits = inner_gain_search(x, amp, budget_content, bt, fs,
+                                      masks, bin_mask)
+    over = over_mask(gain, q, amp)
+
+    def cond(state):
+        it, amp, gain, q, bits, over = state
+        return (it < C.OUTER_MAX) & over.any()
+
+    def body(state):
+        it, amp, gain, q, bits, over = state
         amp = jnp.minimum(amp + C.AMP_STEP * over.astype(I32), C.AMP_MAX)
+        gain, q, bits = refine_gain_search(x, amp, budget_content, gain,
+                                           bt, fs, masks, bin_mask)
+        over = over_mask(gain, q, amp)
+        return it + 1, amp, gain, q, bits, over
+
+    _, amp, gain, q, bits, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), amp, gain, q, bits, over))
     return q, amp, gain, bits

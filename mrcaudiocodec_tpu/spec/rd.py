@@ -61,6 +61,26 @@ def inner_gain_search(x, amp, budget_content, lay, block_type):
     return int(fine[i]), q_f[i], int(bits_f[i])
 
 
+# Outer iterations 2+ re-search only a narrow window above the previous
+# gain: amplification strictly increases bit cost at fixed gain, so the new
+# best gain is >= the previous one, and one AMP_STEP outer move shifts it
+# by only a few quarter-steps. GAIN_MAX is appended as a guaranteed-fit
+# fallback so the budget contract is kept even in pathological frames.
+REFINE_WINDOW = 15
+
+
+def refine_gain_search(x, amp, budget_content, prev_gain, lay, block_type):
+    """Windowed re-search -> (gain, q[1024], content_bits)."""
+    cand = np.arange(prev_gain, min(prev_gain + REFINE_WINDOW, C.GAIN_MAX) + 1,
+                     dtype=np.int32)
+    if cand[-1] != C.GAIN_MAX:
+        cand = np.concatenate([cand, [np.int32(C.GAIN_MAX)]])
+    bits, q = _bits_for_gains(x, amp, cand, lay, block_type)
+    fits = bits <= budget_content
+    i = int(np.argmax(fits)) if fits.any() else len(cand) - 1
+    return int(cand[i]), q[i], int(bits[i])
+
+
 def rd_frame(x, allowed, budget_bits: int, block_type: int, fs: int):
     """Encode-side RD search for one frame.
 
@@ -79,8 +99,12 @@ def rd_frame(x, allowed, budget_bits: int, block_type: int, fs: int):
 
     gain, q, bits = 0, None, 0
     for it in range(C.OUTER_MAX):
-        gain, q, bits = inner_gain_search(x, amp, budget_content, lay,
-                                          block_type)
+        if it == 0:
+            gain, q, bits = inner_gain_search(x, amp, budget_content, lay,
+                                              block_type)
+        else:
+            gain, q, bits = refine_gain_search(x, amp, budget_content, gain,
+                                               lay, block_type)
         e_band = np.clip(gain - amp, C.GAIN_MIN, C.GAIN_MAX)
         xhat = quantize.dequantize(q, e_band[bin_band])
         err = (x.astype(F32) - xhat) ** 2
