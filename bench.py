@@ -54,14 +54,70 @@ def segmental_snr(x, y, seg=1024):
                                        / (den[keep] + 1e-30))))
 
 
+def kernel_roofline():
+    """Isolated MDCT / psycho / RD executable throughput + roofline
+    utilization (BASELINE.json:5 'speed-of-light per chip'). stderr only."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrcaudiocodec_tpu import config as C
+    from mrcaudiocodec_tpu.models.encoder import (_analyze_chunk, _rd_chunk,
+                                                  ENC_CHUNK)
+
+    rng = np.random.default_rng(0)
+    fs = 44100
+    ext = jnp.asarray((0.2 * rng.standard_normal(
+        ((ENC_CHUNK + 3) * C.HOP,))).astype(np.float32))
+    out = _analyze_chunk(ext, fs, True, True, "sine")
+    jax.block_until_ready(out)
+
+    def bench_fn(fn, n=10):
+        o = fn()
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = fn()
+        jax.block_until_ready(o)
+        return (time.perf_counter() - t0) / n
+
+    dt_a = bench_fn(lambda: _analyze_chunk(ext, fs, True, True, "sine"))
+    bt, co, al, pe = out
+    bud = jnp.full((ENC_CHUNK,), 1486, jnp.int32)
+    dt_r = bench_fn(lambda: _rd_chunk(co, al, bud, bt, fs))
+
+    f = ENC_CHUNK
+    # analyze: dominant FLOPs = long+short DCT matmuls + FFTs + spreading
+    mdct_flops = f * (2 * 1024 * 1024 + 8 * 2 * 128 * 128) * 2  # both paths
+    fft_flops = f * (5 * 2048 * 11 + 8 * 5 * 256 * 8)
+    # RD: per candidate eval ~ quantize (pow) + masked-sum lookups + mask mm
+    # counted as the mask matmuls (MXU) which dominate arithmetically
+    evals = 40 + 3 * 17                       # iter1 + ~3 refine iters
+    rd_mm_flops = f * evals * (512 * 88 * 2 * 6 + 1024 * 88 * 2)
+    peak = 197e12                              # v5e bf16 peak FLOPs/s
+    log(f"[kernels] analyze[{f}]: {dt_a*1e3:.1f} ms "
+        f"({f/dt_a:.0f} frames/s, ~{(mdct_flops+fft_flops)/dt_a/1e12:.2f} "
+        f"TFLOP/s, {((mdct_flops+fft_flops)/dt_a)/peak*100:.1f}% of bf16 peak)")
+    log(f"[kernels] rd[{f}]: {dt_r*1e3:.1f} ms "
+        f"({f/dt_r:.0f} frames/s, ~{rd_mm_flops/dt_r/1e12:.2f} TFLOP/s "
+        f"mask-matmul work, {(rd_mm_flops/dt_r)/peak*100:.1f}% of bf16 peak)")
+    # HBM roofline for analyze: bytes ~ frames in + coeffs/allowed out
+    bytes_a = f * (2048 * 4 + 1024 * 4 + 88 * 4 * 2)
+    log(f"[kernels] analyze HBM traffic ~{bytes_a/1e6:.1f} MB "
+        f"-> {bytes_a/dt_a/1e9:.0f} GB/s of ~820 GB/s v5e HBM")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
                     help="extra metrics on stderr")
+    ap.add_argument("--kernels", action="store_true",
+                    help="isolated kernel throughput + roofline on stderr")
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--spec-seconds", type=float, default=4.0,
                     help="clip length for the (slow) spec-Python baseline")
     args = ap.parse_args()
+    if args.kernels:
+        kernel_roofline()
 
     from mrcaudiocodec_tpu.config import CodecConfig
     from mrcaudiocodec_tpu.spec import codec as scodec
@@ -106,7 +162,7 @@ def main():
         f"rate {len(bs) * 8 / args.seconds / 1000:.1f} kbps")
 
     if args.full:
-        y, _ = tcodec.decode(bs)
+        y, _ = tcodec.decode(bs, pcm_dtype="int16")   # warm (compiles)
         t0 = time.perf_counter()
         y, _ = tcodec.decode(bs, pcm_dtype="int16")
         dec_dt = time.perf_counter() - t0

@@ -205,6 +205,79 @@ def pack_stream(dec, nf: int, n_samples: int, cfg: CodecConfig) -> bytes:
     return w.getvalue()
 
 
+DEVICE_PACK = _os.environ.get("MRC_DEVICE_PACK", "1") != "0"
+
+
+def encode_device_packed(x: np.ndarray, cfg: CodecConfig) -> bytes:
+    """Fully device-side encode: the bitstream bytes themselves are built
+    on the TPU (ops/device_pack.py); only ~compressed-size bytes cross back
+    to the host, which merely concatenates record runs."""
+    from ..ops.device_pack import pack_records_device, record_cap_bytes
+
+    t0 = _time.perf_counter()
+    n, nch = x.shape
+    nf = cfg.frames_for_samples(n)
+    sizes = _chunk_schedule(nf)
+    n_chunks = len(sizes)
+    starts = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+    nf_pad = int(starts[-1])
+    mean_bits = int(cfg.mean_frame_bits)
+    cap = record_cap_bytes(cfg)
+
+    plen = 2 * C.HOP + nf_pad * C.HOP + 2 * C.HOP + C.LONG_SIZE
+    dtype = np.int16 if x.dtype == np.int16 else np.float32
+    per_ch = []
+    for ch in range(nch):
+        P = np.zeros(plen, dtype)
+        P[2 * C.HOP:2 * C.HOP + n] = x[:, ch]
+        bts, cos, als, pes = [], [], [], []
+        for c in range(n_chunks):
+            lo = int(starts[c]) * C.HOP
+            sl = jnp.asarray(P[lo:lo + (sizes[c] + 3) * C.HOP])
+            bt, co, al, pe = _analyze_chunk(
+                sl, cfg.fs, cfg.window_switching, cfg.full_psycho, cfg.window)
+            bts.append(bt)
+            cos.append(co)
+            als.append(al)
+            pes.append(pe)
+        pe_full = pes[0] if n_chunks == 1 else jnp.concatenate(pes)
+        budgets = _budget_stage(pe_full, jnp.int32(nf), mean_bits,
+                                cfg.reservoir_cap, cfg.reservoir)
+        outs = []
+        for c in range(n_chunks):
+            b = budgets[int(starts[c]):int(starts[c + 1])]
+            q, amp, gain, bt8, cb, bits = _rd_chunk(cos[c], als[c], b,
+                                                    bts[c], cfg.fs)
+            rec, nbytes = pack_records_device(q, amp, gain, bt8, cb,
+                                              cfg.fs, cap)
+            rec.copy_to_host_async()
+            nbytes.copy_to_host_async()
+            outs.append((rec, nbytes))
+        per_ch.append(outs)
+    _tlog(t0, f"dispatched {nch}x{n_chunks} chunks (device pack)")
+
+    host = jax.device_get(per_ch)
+    _tlog(t0, "device_get done")
+    rec = np.stack([np.concatenate([host[ch][c][0]
+                                    for c in range(n_chunks)])[:nf]
+                    for ch in range(nch)])          # [nch, nf, cap]
+    nbytes = np.stack([np.concatenate([host[ch][c][1]
+                                       for c in range(n_chunks)])[:nf]
+                       for ch in range(nch)]).astype(np.int64)
+    # channel-interleave record runs: order (f, ch)
+    rec = np.swapaxes(rec, 0, 1).reshape(nf * nch, cap)
+    nbytes = np.swapaxes(nbytes, 0, 1).reshape(nf * nch)
+    from ..native import _ranges
+    idx = np.repeat(np.arange(nf * nch) * cap, nbytes) + _ranges(nbytes)
+    body = rec.reshape(-1)[idx].tobytes()
+
+    w = BitWriter()
+    spec_bitstream.write_header(w, cfg, nf, n)
+    out = w.getvalue() + body
+    _tlog(t0, "assembled")
+    return out
+
+
 def encode(x: np.ndarray, cfg: CodecConfig) -> bytes:
     """PCM [n] or [n, channels], float32 in [-1,1] or raw int16 -> MRC1
     bytes (TPU path). int16 input skips the host float conversion and
@@ -217,6 +290,8 @@ def encode(x: np.ndarray, cfg: CodecConfig) -> bytes:
     if x.shape[1] != cfg.channels:
         raise ValueError(
             f"config expects {cfg.channels} channels, got {x.shape[1]}")
+    if DEVICE_PACK:
+        return encode_device_packed(x, cfg)
     t0 = _time.perf_counter()
     dec, nf = encode_arrays(x, cfg)
     from .packing import pack_stream as pack_fast

@@ -126,3 +126,12 @@ def test_frame_byte_offsets_scan():
     assert np.all(np.diff(offs) > 0)
     last = offs[-1] + (C.FRAME_LEN_BITS + lens[-1] + 7) // 8
     assert last == len(bs)
+
+
+def test_32khz_support():
+    cfg = CodecConfig(fs=32000, channels=1, bitrate=64000)
+    x = make_clip(32000, 0.5)
+    bs = codec.encode(x, cfg)
+    y, cfg2 = codec.decode(bs)
+    assert cfg2.fs == 32000
+    assert snr_db(x, y) > 20.0
