@@ -71,13 +71,18 @@ def kernel_roofline():
     out = _analyze_chunk(ext, fs, True, True, "sine")
     jax.block_until_ready(out)
 
+    def sync(o):
+        # a tiny device->host readback is the only reliable fence on the
+        # axon tunnel (block_until_ready returns early there)
+        leaves = jax.tree.leaves(o)
+        np.asarray(leaves[0].ravel()[:1])
+
     def bench_fn(fn, n=10):
-        o = fn()
-        jax.block_until_ready(o)
+        sync(fn())
         t0 = time.perf_counter()
         for _ in range(n):
             o = fn()
-        jax.block_until_ready(o)
+        sync(o)
         return (time.perf_counter() - t0) / n
 
     dt_a = bench_fn(lambda: _analyze_chunk(ext, fs, True, True, "sine"))
