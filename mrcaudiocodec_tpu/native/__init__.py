@@ -107,7 +107,8 @@ def decode_records(data: bytes, content_bit_offsets: np.ndarray, fs: int,
                 ctypes.c_int32(mn), ctypes.c_int32(mx))
 
     rc = lib.mrc_decode_records(
-        _ptr(buf, ctypes.c_uint8), _ptr(offs, ctypes.c_int64),
+        _ptr(buf, ctypes.c_uint8), ctypes.c_int64(len(buf) * 8),
+        _ptr(offs, ctypes.c_int64),
         ctypes.c_int64(r),
         *targs(sf), *targs(sm), *targs(md), *targs(es),
         _ptr(edges, ctypes.c_int32), _ptr(width, ctypes.c_int32),

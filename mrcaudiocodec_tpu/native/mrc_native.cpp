@@ -21,9 +21,11 @@ namespace {
 
 struct BitCursor {
     const uint8_t* data;
-    int64_t pos;   // bit position
+    int64_t pos;     // bit position
+    int64_t limit;   // total bits available (bounds check on every read)
 
     inline uint32_t take1() {
+        if (pos >= limit) { pos = limit + 1; return 0; }
         uint32_t b = (data[pos >> 3] >> (7 - (pos & 7))) & 1u;
         ++pos;
         return b;
@@ -33,6 +35,7 @@ struct BitCursor {
         for (int i = 0; i < n; ++i) v = (v << 1) | take1();
         return v;
     }
+    inline bool overrun() const { return pos > limit; }
 };
 
 // Canonical Huffman decode tables (first_code/first_sym/order + counts).
@@ -67,10 +70,11 @@ struct Tables {
 
 // Decode one record's content (after the length prefix).
 // Returns 0 on success.
-int decode_one(const uint8_t* bits, int64_t bit_off, const Tables& tb,
+int decode_one(const uint8_t* bits, int64_t bit_off, int64_t bit_limit,
+               const Tables& tb,
                int32_t* q, int32_t* e_band, int32_t* bt_out,
                int32_t* gain_out) {
-    BitCursor cur{bits, bit_off};
+    BitCursor cur{bits, bit_off, bit_limit};
     const int32_t bt = (int32_t)cur.take(3);
     const int32_t gain = (int32_t)cur.take(8);
     if (bt < 0 || bt > 4) return 1;
@@ -96,6 +100,7 @@ int decode_one(const uint8_t* bits, int64_t bit_off, const Tables& tb,
         e_band[b] = e < 0 ? 0 : (e > 255 ? 255 : e);
     }
 
+    if (cur.overrun()) return 6;
     std::memset(q, 0, sizeof(int32_t) * tb.n_coeffs);
     for (int b = 0; b < tb.nb; ++b) {
         if (width[b] <= 0 || cb[b] == 0) continue;
@@ -125,20 +130,21 @@ int decode_one(const uint8_t* bits, int64_t bit_off, const Tables& tb,
                 uint32_t s1 = m1 ? cur.take1() : 0;
                 if (m0 >= 16) {
                     int e = 4;
-                    while (cur.take1()) ++e;
+                    while (cur.take1() && e < 31) ++e;
                     m0 = ((int64_t)1 << e) + cur.take(e);
                 }
                 if (m1 >= 16) {
                     int e = 4;
-                    while (cur.take1()) ++e;
+                    while (cur.take1() && e < 31) ++e;
                     m1 = ((int64_t)1 << e) + cur.take(e);
                 }
+                if (cur.overrun()) return 6;
                 q[t] = (int32_t)(s0 ? -m0 : m0);
                 q[t + 1] = (int32_t)(s1 ? -m1 : m1);
             }
         }
     }
-    return 0;
+    return cur.overrun() ? 6 : 0;
 }
 
 }  // namespace
@@ -153,7 +159,8 @@ extern "C" {
 //   bt, gain:    [n] out
 // Returns 0 on success, else 100 + first failing record's error code.
 int mrc_decode_records(
-    const uint8_t* bits, const int64_t* bit_offsets, int64_t n_records,
+    const uint8_t* bits, int64_t total_bits,
+    const int64_t* bit_offsets, int64_t n_records,
     // sf table
     const int64_t* sf_fc, const int64_t* sf_fs, const int64_t* sf_ord,
     const int64_t* sf_cnt, int32_t sf_min, int32_t sf_max,
@@ -191,7 +198,11 @@ int mrc_decode_records(
         for (;;) {
             int64_t i = next.fetch_add(1);
             if (i >= n_records || err.load()) break;
-            int rc = decode_one(bits, bit_offsets[i], tb,
+            if (bit_offsets[i] < 0 || bit_offsets[i] >= total_bits) {
+                err.store(107);
+                continue;
+            }
+            int rc = decode_one(bits, bit_offsets[i], total_bits, tb,
                                 q + i * n_coeffs, e_band + i * nb,
                                 bt + i, gain + i);
             if (rc) err.store(100 + rc);

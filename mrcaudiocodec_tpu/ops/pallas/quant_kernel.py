@@ -1,14 +1,17 @@
 """Pallas TPU kernel: fused quantization inner-loop cost sweep (N4).
 
-For a block of frames and all candidate gains at once: quantize, map to
-codebook symbols, accumulate exact Huffman bit costs per band (masked-sum
-table lookups — no HBM round-trips for the [F, G, 1024] intermediates the
-XLA path materializes), pick the cheapest valid codebook per band, and
-return total payload bits per (frame, gain).
+Grid = (frame blocks, gain candidates). Each instance quantizes one frame
+block at one gain and accumulates the exact Huffman payload bits per band
+without touching HBM for any [F, G, 1024] intermediate:
 
-The XLA path (ops/rd._bits_for_gains) is already fast; this kernel is the
-fused alternative for the hot inner loop, validated bit-exact against it in
-tests/test_pallas.py and selectable via MRC_USE_PALLAS=1.
+* codeword-length lookups are one-hot bf16 dots against the length tables
+  (builds a [tuples, n_sym] one-hot in VMEM via iota compare — no dynamic
+  indexing, nothing Mosaic cannot lower),
+* band reductions are 0/1 mask matmuls per block type, combined branchless.
+
+Bit-exact vs the XLA path (ops/rd._bits_for_gains) — asserted in
+tests/test_pallas.py; the XLA path stays the default (it is already
+MXU-bound), this kernel is the fused alternative for the hot inner loop.
 """
 from __future__ import annotations
 
@@ -22,95 +25,112 @@ from jax.experimental import pallas as pl
 from ... import config as C
 from ... import tables as T
 
-BLOCK_F = 8
+BLOCK_F = 32
 BIG = np.int32(1 << 24)
 
 
-def _lookup(sym, table_ref, n_sym):
-    """Exact table lookup via fori masked accumulation (VPU-friendly)."""
-    def body(s, acc):
-        return acc + table_ref[s] * (sym == s).astype(jnp.int32)
-    return jax.lax.fori_loop(0, n_sym, body, jnp.zeros_like(sym))
+def _onehot_dot(sym, table, n_sym: int):
+    """Exact lookup: one-hot(sym) @ table via iota compare + MXU dot.
+
+    sym [R, T] int32 in [0, n_sym); table [n_sym, 1] f32 (integer-valued,
+    <= 256 so bf16-exact). Returns [R, T] f32 (integer-valued).
+    """
+    r, t = sym.shape
+    flat = sym.reshape(r * t, 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r * t, n_sym), 1)
+    onehot = (flat == iota).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        onehot, table.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return out.reshape(r, t)
 
 
-def _quant_kernel(x_ref, amp_bin_ref, gains_ref, mask2_ref, mask4_ref,
-                  small_ref, mid_ref, esc_ref, out_ref):
-    """x [BF,1024], amp_bin [BF,1024], gains [BF,G],
-    mask2 [BF,512,96], mask4 [BF,256,96] (band membership, f32),
-    len tables; out [BF,G] payload bits."""
+def _quant_kernel(x_ref, amp_bin_ref, gains_ref, bt_ref,
+                  small_ref, mid_ref, esc_ref,
+                  mask2_ref, mask4_ref, out_ref):
+    """x [BF,1024], amp_bin [BF,1024], gains [BF,G], bt [BF,1],
+    len tables [n,1] f32, mask2 [5,512,NB], mask4 [5,256,NB] f32;
+    out [BF,G]: total payload bits per (frame, gain).
+
+    The gain loop is a fori with NO dynamic ref indexing: the current
+    column is selected and the result accumulated via iota one-hots."""
     x = x_ref[:]
     ax = jnp.abs(x)
-    amp_bin = amp_bin_ref[:]
-    g_count = gains_ref.shape[1]
-    mask2 = mask2_ref[:]
-    mask4 = mask4_ref[:]
+    bt = bt_ref[:, 0]
+    gains = gains_ref[:]                                   # [BF, G]
+    g_count = gains.shape[1]
+    giota = jax.lax.broadcasted_iota(jnp.int32, (1, g_count), 1)
 
-    def per_gain(gi, _):
-        g = gains_ref[:, gi]                                   # [BF]
-        e = jnp.clip(g[:, None] - amp_bin, C.GAIN_MIN, C.GAIN_MAX)
+    def per_gain(gi, acc_out):
+        g = jnp.sum(jnp.where(giota == gi, gains, 0), axis=1)   # [BF]
+        e = jnp.clip(g[:, None] - amp_bin_ref[:], C.GAIN_MIN, C.GAIN_MAX)
         step = jnp.exp2((e.astype(jnp.float32) - C.GAIN_BIAS) / 4.0)
-        a = ax / step
-        mag = jnp.minimum(jnp.floor(a ** 0.75 + C.QUANT_MAGIC),
-                          float(C.QMAX)).astype(jnp.int32)     # [BF,1024]
-        neg = (x < 0)
+        mag = jnp.minimum(jnp.floor((ax / step) ** 0.75 + C.QUANT_MAGIC),
+                          float(C.QMAX)).astype(jnp.int32)  # [BF, 1024]
+        q = jnp.where(x < 0, -mag, mag)
 
-        # symbols
-        q = jnp.where(neg, -mag, mag)
-        t4 = jnp.clip(q, -1, 1) + 1
-        t4 = t4.reshape(-1, 256, 4)
-        sym1 = ((t4[..., 0] * 3 + t4[..., 1]) * 3 + t4[..., 2]) * 3 + t4[..., 3]
-        t2 = jnp.clip(q, -4, 4) + 4
-        t2 = t2.reshape(-1, 512, 2)
+        bf = x.shape[0]
+        t4 = (jnp.clip(q, -1, 1) + 1).reshape(bf, 256, 4)
+        sym1 = (((t4[..., 0] * 3 + t4[..., 1]) * 3 + t4[..., 2]) * 3
+                + t4[..., 3])
+        t2 = (jnp.clip(q, -4, 4) + 4).reshape(bf, 512, 2)
         sym2 = t2[..., 0] * 9 + t2[..., 1]
-        m2 = jnp.minimum(mag, C.ESC_MAG).reshape(-1, 512, 2)
+        m2 = jnp.minimum(mag, C.ESC_MAG).reshape(bf, 512, 2)
         sym3 = m2[..., 0] * (C.ESC_MAG + 1) + m2[..., 1]
 
-        bits1_t = _lookup(sym1, small_ref, 81)                 # [BF,256]
-        bits2_t = _lookup(sym2, mid_ref, 81)                   # [BF,512]
-        # escape extra bits: signs + suffixes (integer-exact)
-        mp = mag.reshape(-1, 512, 2)
+        bits1_t = _onehot_dot(sym1, small_ref[:], 81)      # [BF, 256]
+        bits2_t = _onehot_dot(sym2, mid_ref[:], 81)
+        mp = mag.reshape(bf, 512, 2)
         e_esc = jnp.full(mp.shape, 4, jnp.int32)
         for k in range(5, 13):
             e_esc = e_esc + (mp >= (1 << k)).astype(jnp.int32)
         extra = (jnp.where(mp >= C.ESC_MAG, 2 * e_esc - 3, 0)
-                 + (mp > 0).astype(jnp.int32)).sum(axis=-1)    # [BF,512]
-        bits3_t = _lookup(sym3, esc_ref, 289) + extra
+                 + (mp > 0).astype(jnp.int32)).sum(axis=-1)  # [BF, 512]
+        bits3_t = (_onehot_dot(sym3, esc_ref[:], 289)
+                   + extra.astype(jnp.float32))
 
-        # band reductions (mask matmuls, integer-exact in f32 < 2^24)
-        def bsum(v, mask):
-            return jax.lax.dot_general(
-                v.astype(jnp.float32)[:, None, :], mask,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)[:, 0, :]
-        b1 = bsum(bits1_t, mask4).astype(jnp.int32)            # [BF,96]
-        b2 = bsum(bits2_t, mask2).astype(jnp.int32)
-        b3 = bsum(bits3_t, mask2).astype(jnp.int32)
-        n0 = bsum((mag.reshape(-1, 512, 2) > 0).sum(-1), mask2).astype(jnp.int32)
-        n1 = bsum((mag.reshape(-1, 512, 2) > 1).sum(-1), mask2).astype(jnp.int32)
-        n4 = bsum((mag.reshape(-1, 512, 2) > 4).sum(-1), mask2).astype(jnp.int32)
+        n0_t = (mp > 0).sum(axis=-1).astype(jnp.float32)
+        n1_t = (mp > 1).sum(axis=-1).astype(jnp.float32)
+        n4_t = (mp > 4).sum(axis=-1).astype(jnp.float32)
+
+        # band reductions: 5 static mask matmuls, combined branchless
+        nb = mask2_ref.shape[-1]
+        acc = [jnp.zeros((bf, nb), jnp.float32) for _ in range(6)]
+        for t in range(C.N_BLOCK_TYPES):
+            sel = (bt == t).astype(jnp.float32)[:, None]
+            m2m = mask2_ref[t]
+            m4m = mask4_ref[t]
+
+            def dot(v, m):
+                return jax.lax.dot_general(
+                    v.astype(jnp.float32), m,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            acc[0] = acc[0] + sel * dot(bits1_t, m4m)
+            acc[1] = acc[1] + sel * dot(bits2_t, m2m)
+            acc[2] = acc[2] + sel * dot(bits3_t, m2m)
+            acc[3] = acc[3] + sel * dot(n0_t, m2m)
+            acc[4] = acc[4] + sel * dot(n1_t, m2m)
+            acc[5] = acc[5] + sel * dot(n4_t, m2m)
+        b1, b2, b3, n0, n1, n4 = [a.astype(jnp.int32) for a in acc]
 
         c1 = jnp.where(n1 == 0, b1, BIG)
         c2 = jnp.where(n4 == 0, b2, BIG)
         cost = jnp.minimum(jnp.minimum(c1, c2), b3)
-        cost = jnp.where(n0 == 0, 0, cost)                     # CB_ZERO
-        out_ref[:, gi] = cost.sum(axis=-1)
-        return 0
+        cost = jnp.where(n0 == 0, 0, cost)
+        total = cost.sum(axis=-1).astype(jnp.int32)        # [BF]
+        return acc_out + total[:, None] * (giota == gi).astype(jnp.int32)
 
-    jax.lax.fori_loop(0, g_count, per_gain, 0)
+    out_ref[:] = jax.lax.fori_loop(
+        0, g_count, per_gain, jnp.zeros(out_ref.shape, jnp.int32))
 
 
 @functools.lru_cache(maxsize=None)
 def _masks(fs: int):
-    """Tuple-granular band masks per block type: [5, 512, NB], [5, 256, NB]."""
     lay = T.unified_layout(fs)
-    nb = lay["nb"]
-    m2 = np.zeros((C.N_BLOCK_TYPES, 512, nb), np.float32)
-    m4 = np.zeros((C.N_BLOCK_TYPES, 256, nb), np.float32)
-    for t in range(C.N_BLOCK_TYPES):
-        bb = lay["bin_band"][t]
-        m2[t, np.arange(512), bb[::2]] = 1.0
-        m4[t, np.arange(256), bb[::4]] = 1.0
-    return m2, m4
+    return (np.ascontiguousarray(lay["mask2"], np.float32),
+            np.ascontiguousarray(lay["mask4"], np.float32))
 
 
 def payload_bits_for_gains(coeffs, amp, gains, bt, fs: int,
@@ -121,13 +141,14 @@ def payload_bits_for_gains(coeffs, amp, gains, bt, fs: int,
     nf, g = gains.shape
     assert nf % BLOCK_F == 0
     bin_band = jnp.asarray(lay["bin_band"])[bt]
-    amp_bin = jnp.take_along_axis(amp, bin_band, axis=-1)      # [F,1024]
-    m2_t, m4_t = _masks(fs)
-    mask2 = jnp.asarray(m2_t)[bt]                              # [F,512,NB]
-    mask4 = jnp.asarray(m4_t)[bt]
+    amp_bin = jnp.take_along_axis(amp.astype(jnp.int32), bin_band, axis=-1)
+    m2, m4 = _masks(fs)
     nb = lay["nb"]
 
-    return pl.pallas_call(
+    def tab(a):
+        return np.asarray(a, np.float32).reshape(-1, 1)
+
+    out = pl.pallas_call(
         _quant_kernel,
         out_shape=jax.ShapeDtypeStruct((nf, g), jnp.int32),
         grid=(nf // BLOCK_F,),
@@ -135,19 +156,20 @@ def payload_bits_for_gains(coeffs, amp, gains, bt, fs: int,
             pl.BlockSpec((BLOCK_F, C.LONG_COEFFS), lambda i: (i, 0)),
             pl.BlockSpec((BLOCK_F, C.LONG_COEFFS), lambda i: (i, 0)),
             pl.BlockSpec((BLOCK_F, g), lambda i: (i, 0)),
-            pl.BlockSpec((BLOCK_F, 512, nb), lambda i: (i, 0, 0)),
-            pl.BlockSpec((BLOCK_F, 256, nb), lambda i: (i, 0, 0)),
-            pl.BlockSpec((81,), lambda i: (0,)),
-            pl.BlockSpec((81,), lambda i: (0,)),
-            pl.BlockSpec((289,), lambda i: (0,)),
+            pl.BlockSpec((BLOCK_F, 1), lambda i: (i, 0)),
+            pl.BlockSpec((81, 1), lambda i: (0, 0)),
+            pl.BlockSpec((81, 1), lambda i: (0, 0)),
+            pl.BlockSpec((289, 1), lambda i: (0, 0)),
+            pl.BlockSpec((C.N_BLOCK_TYPES, 512, nb), lambda i: (0, 0, 0)),
+            pl.BlockSpec((C.N_BLOCK_TYPES, 256, nb), lambda i: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((BLOCK_F, g), lambda i: (i, 0)),
         interpret=interpret,
-    )(coeffs.astype(jnp.float32), amp_bin.astype(jnp.int32),
-      gains.astype(jnp.int32), mask2, mask4,
-      jnp.asarray(ca["len_small"], jnp.int32),
-      jnp.asarray(ca["len_mid"], jnp.int32),
-      jnp.asarray(ca["len_esc"], jnp.int32))
+    )(coeffs.astype(jnp.float32), amp_bin, gains.astype(jnp.int32),
+      bt.astype(jnp.int32).reshape(nf, 1),
+      tab(ca["len_small"]), tab(ca["len_mid"]), tab(ca["len_esc"]),
+      m2, m4)
+    return out
 
 
 def bits_for_gains(coeffs, amp, gains, bt, fs: int, interpret: bool = False):
@@ -156,8 +178,8 @@ def bits_for_gains(coeffs, amp, gains, bt, fs: int, interpret: bool = False):
     tb = entropy._dev_tables(fs)
     payload = payload_bits_for_gains(coeffs, amp, gains, bt, fs,
                                      interpret=interpret)
-    width = jnp.asarray(tb["width"])[bt]
-    nreal = jnp.asarray(tb["nreal"])[bt]
+    width = entropy._select_by_bt(tb["width"], bt)
+    nreal = entropy.lut(tb["nreal"], bt)
     sf = entropy.sf_delta_bits(amp, width)
     fixed = C.BLOCK_TYPE_BITS + C.GAIN_BITS + C.CB_BITS * nreal
     return payload + (fixed + sf)[:, None]

@@ -58,3 +58,24 @@ def test_decoder_uses_native_and_matches():
     y_spec, _ = scodec.decode(data)
     y_tpu, _ = tcodec.decode(data)
     assert np.abs(y_spec - y_tpu).max() < 1e-4
+
+
+def test_native_decode_corrupt_stream_safe():
+    """Corrupt/truncated payloads must raise cleanly, never crash/overrun."""
+    rng = np.random.default_rng(9)
+    data, cfg = _stream(channels=1, seed=5)
+    _, nf, _, hb = B.read_header(data)
+    offs, lens = B.frame_byte_offsets(data, hb // 8, nf)
+    content_offs = offs * 8 + C.FRAME_LEN_BITS
+    # flip random bits in the payload region and truncate
+    for trial in range(8):
+        buf = bytearray(data)
+        for _ in range(40):
+            pos = int(rng.integers(B.HEADER_BYTES, len(buf)))
+            buf[pos] ^= int(rng.integers(1, 256))
+        cut = bytes(buf[:int(rng.integers(B.HEADER_BYTES + 4, len(buf)))])
+        n_fit = int(np.searchsorted(offs, len(cut)))
+        try:
+            native.decode_records(cut, content_offs[:max(n_fit, 1)], cfg.fs)
+        except ValueError:
+            pass        # clean rejection is the expected outcome
