@@ -25,22 +25,83 @@ from .spec import audiofile
 
 
 def encode_batch(clips: list[np.ndarray], cfg: CodecConfig) -> list[bytes]:
-    """Encode equal-or-varying-length clips; batches device work across clips.
+    """Encode clips, batching device work across clips where possible.
 
-    Each clip is [n] or [n, channels] float32. Clips are concatenated on the
-    frame axis so the whole corpus flows through the same two fixed-shape
-    executables (models/encoder chunking); per-clip streams are then packed
-    independently.
+    Each clip is [n] or [n, channels] float32 (or int16). Equal-length
+    batches run through the fused one-dispatch encode step (every channel
+    of every clip is one batch row — acceptance config 4's "64 clips in
+    parallel on one chip"); mixed lengths fall back to per-clip encoding
+    through the shared chunk executables.
     """
-    from .models import encoder, packing
+    from .models import codec as tcodec
 
-    out = []
-    for x in clips:                      # device work dominates; the Python
-        x = np.asarray(x, np.float32)    # loop just sequences chunk launches
+    arrs = []
+    for x in clips:
+        x = np.asarray(x)
+        if x.dtype != np.int16:
+            x = x.astype(np.float32)
         if x.ndim == 1:
             x = x[:, None]
-        dec, nf = encoder.encode_arrays(x, cfg)
-        out.append(packing.pack_stream(dec, nf, x.shape[0], cfg))
+        arrs.append(x)
+    if len({a.shape for a in arrs}) == 1 and len(arrs) > 1:
+        return _encode_batch_fused(arrs, cfg)
+    return [tcodec.encode(x, cfg) for x in arrs]
+
+
+def _encode_batch_fused(arrs: list[np.ndarray], cfg: CodecConfig) -> list[bytes]:
+    """Equal-shape clips -> one fused device dispatch for the whole batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import config as C
+    from .parallel import mesh as pmesh
+    from .parallel.sharded import sharded_encode_step
+    from .spec.bitstream import write_header
+    from .utils.bits import BitWriter
+    from . import native
+    from .models.packing import pack_records
+    from .utils.bits import pack_codes
+
+    n, nch = arrs[0].shape
+    nf = cfg.frames_for_samples(n)
+    rows = len(arrs) * nch
+    xp = np.zeros((rows, nf * C.HOP), np.float32)
+    for i, a in enumerate(arrs):
+        af = (a.astype(np.float32) / np.float32(32768.0)
+              if a.dtype == np.int16 else a)
+        for ch in range(nch):
+            xp[i * nch + ch, :n] = af[:, ch]
+
+    mesh = pmesh.make_mesh(1, 1, devices=jax.devices()[:1])
+    step = sharded_encode_step(mesh, cfg, nf)
+    q, amp, gain, bt, bits, cb = step(jnp.asarray(xp))
+    for a in (q, amp, gain, bt, cb):
+        a.copy_to_host_async()
+    q, amp, gain, bt, cb = [np.asarray(v)
+                            for v in (q, amp, gain, bt, cb)]
+
+    out = []
+    for i in range(len(arrs)):
+        rows_i = slice(i * nch, (i + 1) * nch)
+        # interleave channels per frame: record order (f, ch)
+        def inter(x):
+            return np.swapaxes(x[rows_i], 0, 1).reshape(
+                (nf * nch,) + x.shape[2:])
+        w = BitWriter()
+        write_header(w, cfg, nf, n)
+        body = None
+        if native.available():
+            body = native.pack_records_native(
+                inter(q).astype(np.int16), inter(amp).astype(np.int8),
+                inter(gain).astype(np.int16), inter(bt).astype(np.int8),
+                inter(cb).astype(np.int8), cfg.fs)
+        if body is None:
+            codes, lens = pack_records(
+                inter(q).astype(np.int32), inter(amp).astype(np.int32),
+                inter(gain).astype(np.int32), inter(bt).astype(np.int32),
+                cfg.fs, cb=inter(cb).astype(np.int32))
+            body = pack_codes(codes, lens)
+        out.append(w.getvalue() + body)
     return out
 
 

@@ -137,8 +137,12 @@ def _shard_encode_body(xp, cfg, total_frames: int, axis: str = "seq"):
                                      budgets.astype(I32), bt, cfg.fs)
     cb, _ = entropy.payload_costs_and_choice(q, bt, cfg.fs)
     shp = (b_loc, f_loc)
-    return (q.reshape(shp + (-1,)), amp.reshape(shp + (-1,)),
-            gain.reshape(shp), bt.reshape(shp), bits.reshape(shp))
+    return (q.reshape(shp + (-1,)).astype(jnp.int16),
+            amp.reshape(shp + (-1,)).astype(jnp.int8),
+            gain.reshape(shp).astype(jnp.int16),
+            bt.reshape(shp).astype(jnp.int8),
+            bits.reshape(shp),
+            cb.reshape(shp + (-1,)).astype(jnp.int8))
 
 
 def sharded_encode_step(mesh, cfg, total_frames: int):
@@ -155,6 +159,7 @@ def sharded_encode_step(mesh, cfg, total_frames: int):
         body, mesh=mesh,
         in_specs=P("data", "seq"),
         out_specs=(P("data", "seq", None), P("data", "seq", None),
-                   P("data", "seq"), P("data", "seq"), P("data", "seq")),
+                   P("data", "seq"), P("data", "seq"), P("data", "seq"),
+                   P("data", "seq", None)),
         check_vma=False)
     return jax.jit(sm)

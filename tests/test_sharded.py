@@ -51,7 +51,7 @@ def test_sharded_equals_unsharded(n_data, n_seq):
     mesh = pmesh.make_mesh(n_data, n_seq)
     step = sharded_encode_step(mesh, cfg, nf)
     xp_dev = jax.device_put(jnp.asarray(xp), pmesh.seq_sharding(mesh))
-    q_s, amp_s, gain_s, bt_s, bits_s = [np.asarray(v) for v in step(xp_dev)]
+    q_s, amp_s, gain_s, bt_s, bits_s, cb_s = [np.asarray(v) for v in step(xp_dev)]
     q_s = q_s.reshape(n_clips, nf, -1)
     amp_s = amp_s.reshape(n_clips, nf, -1)
     gain_s = gain_s.reshape(n_clips, nf)
@@ -86,6 +86,18 @@ def test_halo_framing_matches_host():
     step = sharded_encode_step(mesh, cfg, nf)
     xp = jax.device_put(jnp.asarray(_pad_for_shard(x, nf)),
                         pmesh.seq_sharding(mesh))
-    q_s, amp_s, gain_s, bt_s, bits_s = step(xp)
+    q_s, amp_s, gain_s, bt_s, bits_s, cb_s = step(xp)
     dec, _ = encoder.encode_arrays(x[0][:, None], cfg)
     np.testing.assert_array_equal(np.asarray(q_s)[0], dec["q"][0])
+
+
+def test_encode_batch_fused_matches_per_clip():
+    """Fused batch encode must produce the same streams as per-clip encode."""
+    from mrcaudiocodec_tpu.corpus import encode_batch, _synth_corpus
+    from mrcaudiocodec_tpu.models import codec as tcodec
+    cfg = CodecConfig(fs=44100, channels=2, bitrate=128000)
+    clips = _synth_corpus(3, 0.5)
+    fused = encode_batch(clips, cfg)
+    for i, x in enumerate(clips):
+        single = tcodec.encode(np.asarray(x, np.float32), cfg)
+        assert fused[i] == single, f"clip {i} differs"
