@@ -66,6 +66,28 @@ def lut(table: np.ndarray, sym: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def lut2(table2d: np.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2D table lookup: one-hot row matmul + masked column select.
+
+    table2d: [na, nb] small non-negative ints (exact in bf16); a, b: int32
+    indices with a shared leading shape. Integer-exact: the one-hot matmul
+    has exactly one nonzero product per output (0/1 x value <= 255, f32
+    accumulation), and the column select is a single-term masked sum.
+
+    Cost is na + nb VPU compare/select passes plus one tiny MXU matmul —
+    vs na*nb passes for `lut` on the fused symbol a*nb+b (the 289-pass
+    escape-pair lookup becomes 34 passes).
+    """
+    tab = jnp.asarray(np.asarray(table2d), jnp.bfloat16)
+    na, nb = tab.shape
+    oh_a = (a[..., None] == jnp.arange(na, dtype=a.dtype)).astype(jnp.bfloat16)
+    rows = jnp.einsum("...a,ab->...b", oh_a, tab,
+                      precision=jax.lax.Precision.DEFAULT,
+                      preferred_element_type=jnp.float32)
+    oh_b = b[..., None] == jnp.arange(nb, dtype=b.dtype)
+    return jnp.sum(jnp.where(oh_b, rows, 0.0), axis=-1).astype(I32)
+
+
 def _select_by_bt(tables5: np.ndarray, bt: jnp.ndarray) -> jnp.ndarray:
     """tables5 [5, ...] constant + bt [F] -> [F, ...] (branchless select)."""
     t5 = jnp.asarray(tables5)
@@ -125,21 +147,22 @@ def payload_costs_and_choice(q: jnp.ndarray, bt: jnp.ndarray, fs: int,
     width = width.reshape(wshape)
 
     aq = jnp.abs(q)
-    # CB_SMALL: 4-tuples of clipped values
+    # CB_SMALL: 4-tuples of clipped values, split into two 9-way digits
     c = jnp.clip(q, -1, 1) + 1
     t4 = c.reshape(lead + (-1, 4))
-    sym1 = ((t4[..., 0] * 3 + t4[..., 1]) * 3 + t4[..., 2]) * 3 + t4[..., 3]
-    bits1 = band_sum_mm(lut(tb["len_small"], sym1), mask4)
+    bits1 = band_sum_mm(lut2(tb["len_small"].reshape(9, 9),
+                             t4[..., 0] * 3 + t4[..., 1],
+                             t4[..., 2] * 3 + t4[..., 3]), mask4)
     # CB_MID: pairs
     c2 = jnp.clip(q, -4, 4) + 4
     t2 = c2.reshape(lead + (-1, 2))
-    sym2 = t2[..., 0] * 9 + t2[..., 1]
-    bits2 = band_sum_mm(lut(tb["len_mid"], sym2), mask2)
+    bits2 = band_sum_mm(lut2(tb["len_mid"].reshape(9, 9),
+                             t2[..., 0], t2[..., 1]), mask2)
     # CB_ESC: magnitude pairs + signs + escapes
     m2 = jnp.minimum(aq, C.ESC_MAG).reshape(lead + (-1, 2))
-    sym3 = m2[..., 0] * (C.ESC_MAG + 1) + m2[..., 1]
     qp = aq.reshape(lead + (-1, 2))
-    esc = (lut(tb["len_esc"], sym3)
+    esc = (lut2(tb["len_esc"].reshape(C.ESC_MAG + 1, C.ESC_MAG + 1),
+                m2[..., 0], m2[..., 1])
            + (qp[..., 0] != 0).astype(I32) + (qp[..., 1] != 0).astype(I32)
            + escape_bits(qp[..., 0]) + escape_bits(qp[..., 1]))
     bits3 = band_sum_mm(esc, mask2)
