@@ -26,8 +26,10 @@ DEC_CHUNK = int(_os.environ.get("MRC_DEC_CHUNK", 1024))
 
 @functools.partial(jax.jit, static_argnames=("fs", "window", "pcm16"))
 def _synth_chunk(q, e_band, bt, carry_in, fs, window, pcm16):
-    """[CHUNK,1024] i16 q + [CHUNK,NB] i16 exponents + [CHUNK] i8 types
-    + [HOP] f32 seam carry -> (pcm [CHUNK*HOP], carry_out [HOP] f32).
+    """[R,CHUNK,1024] i16 q + [R,CHUNK,NB] i16 exponents + [R,CHUNK] i8
+    types + [R,HOP] f32 seam carries -> (pcm [R,CHUNK*HOP],
+    carry_out [R,HOP] f32). Rows are independent channels, decoded in one
+    dispatch (they fold into the frame batch axis for synthesis).
 
     pcm is int16 (write-ready, rounded after all overlap-adds) when pcm16,
     else float32. The seam between chunks stays in float via the carry.
@@ -35,23 +37,27 @@ def _synth_chunk(q, e_band, bt, carry_in, fs, window, pcm16):
     with jax.default_matmul_precision("highest"):
         from ..ops.entropy import _select_by_bt
         lay = T.unified_layout(fs)
-        bt = bt.astype(jnp.int32)
+        r, f = bt.shape
+        bt = bt.astype(jnp.int32).reshape(-1)
+        qf = q.reshape(r * f, -1)
+        ef = e_band.reshape(r * f, -1)
         bin_mask = _select_by_bt(lay["band_mask"], bt).astype(jnp.bfloat16)
-        e_bin = jnp.einsum("fn,fin->fi", e_band.astype(jnp.bfloat16),
+        e_bin = jnp.einsum("fn,fin->fi", ef.astype(jnp.bfloat16),
                            bin_mask,
                            precision=jax.lax.Precision.DEFAULT,
                            preferred_element_type=jnp.float32).astype(
                                jnp.int32)
-        xhat = quantize.dequantize(q.astype(jnp.int32), e_bin)
-        frames = dsp.synthesize(xhat, bt, window)        # [CHUNK, 2048]
-        first = frames[:, :C.HOP]
-        second = frames[:, C.HOP:]
+        xhat = quantize.dequantize(qf.astype(jnp.int32), e_bin)
+        frames = dsp.synthesize(xhat, bt, window).reshape(
+            r, f, C.LONG_SIZE)                           # [R, CHUNK, 2048]
+        first = frames[:, :, :C.HOP]
+        second = frames[:, :, C.HOP:]
         y = jnp.concatenate(
-            [first, jnp.zeros((1, C.HOP), jnp.float32)], axis=0)
-        y = y.at[1:].add(second)
-        y = y.at[0].add(carry_in)
-        flat = y.reshape(-1)
-        pcm, carry_out = flat[:-C.HOP], flat[-C.HOP:]
+            [first, jnp.zeros((r, 1, C.HOP), jnp.float32)], axis=1)
+        y = y.at[:, 1:].add(second)
+        y = y.at[:, 0].add(carry_in)
+        flat = y.reshape(r, -1)
+        pcm, carry_out = flat[:, :-C.HOP], flat[:, -C.HOP:]
         if pcm16:
             pcm = jnp.clip(jnp.round(pcm * 32767.0), -32768, 32767).astype(
                 jnp.int16)
@@ -98,26 +104,27 @@ def decode(data: bytes, pcm_dtype="float32"):
     bt = bt.reshape(nf, nch)
 
     pcm16 = (pcm_dtype == "int16")
-    n_chunks = -(-nf // DEC_CHUNK)
-    nf_pad = n_chunks * DEC_CHUNK
-    out = np.zeros((n_samples, nch), np.int16 if pcm16 else np.float32)
-    for ch in range(nch):
-        qc = np.zeros((nf_pad, C.LONG_COEFFS), np.int16)
-        ec = np.zeros((nf_pad, nb), np.int16)
-        bc = np.zeros(nf_pad, np.int8)
-        qc[:nf] = q[:, ch]
-        ec[:nf] = e_band[:, ch]
-        bc[:nf] = bt[:, ch]
-        carry = jnp.zeros(C.HOP, jnp.float32)
-        chunks_out = []
-        for c in range(n_chunks):
-            sl = slice(c * DEC_CHUNK, (c + 1) * DEC_CHUNK)
-            pcm, carry = _synth_chunk(jnp.asarray(qc[sl]),
-                                      jnp.asarray(ec[sl]),
-                                      jnp.asarray(bc[sl]), carry,
-                                      cfg.fs, cfg.window, pcm16)
-            pcm.copy_to_host_async()
-            chunks_out.append(pcm)
-        P = np.concatenate([np.asarray(p) for p in chunks_out])
-        out[:, ch] = P[C.HOP:C.HOP + n_samples]
+    from .encoder import _chunk_schedule
+    sizes = _chunk_schedule(nf, DEC_CHUNK)
+    n_chunks = len(sizes)
+    bounds = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+    nf_pad = int(bounds[-1])
+    qc = np.zeros((nch, nf_pad, C.LONG_COEFFS), np.int16)
+    ec = np.zeros((nch, nf_pad, nb), np.int16)
+    bc = np.zeros((nch, nf_pad), np.int8)
+    qc[:, :nf] = np.swapaxes(q, 0, 1)
+    ec[:, :nf] = np.swapaxes(e_band, 0, 1)
+    bc[:, :nf] = bt.T
+    carry = jnp.zeros((nch, C.HOP), jnp.float32)
+    chunks_out = []
+    for c in range(n_chunks):        # all channels in one dispatch
+        sl = slice(int(bounds[c]), int(bounds[c + 1]))
+        pcm, carry = _synth_chunk(jnp.asarray(qc[:, sl]),
+                                  jnp.asarray(ec[:, sl]),
+                                  jnp.asarray(bc[:, sl]), carry,
+                                  cfg.fs, cfg.window, pcm16)
+        pcm.copy_to_host_async()
+        chunks_out.append(pcm)
+    P = np.concatenate([np.asarray(p) for p in chunks_out], axis=1)
+    out = np.ascontiguousarray(P[:, C.HOP:C.HOP + n_samples].T)
     return out, cfg

@@ -49,12 +49,12 @@ def _tlog(t0, msg):
 
 
 def _block_types_dev(tr_ext, window_switching: bool):
-    """[CHUNK+2] transients (with true neighbour edges) -> [CHUNK] types."""
-    tr = tr_ext[1:-1]
+    """[..., CHUNK+2] transients (true neighbour edges) -> [..., CHUNK]."""
+    tr = tr_ext[..., 1:-1]
     if not window_switching:
         return jnp.zeros(tr.shape, jnp.int32)
-    ls = tr_ext[:-2]
-    rs = tr_ext[2:]
+    ls = tr_ext[..., :-2]
+    rs = tr_ext[..., 2:]
     return jnp.where(
         tr, C.SHORT,
         jnp.where(ls & rs, C.STARTSTOP,
@@ -65,9 +65,14 @@ def _block_types_dev(tr_ext, window_switching: bool):
 @functools.partial(jax.jit, static_argnames=("fs", "window_switching",
                                              "full_psycho", "window"))
 def _analyze_chunk(audio_ext, fs, window_switching, full_psycho, window):
-    """One channel-chunk: [(ENC_CHUNK+3)*HOP] audio -> device decision inputs.
+    """Row-batched chunk: [R, (CHUNK+3)*HOP] audio -> decision inputs.
 
-    audio_ext covers frames [f0-1, f0+ENC_CHUNK+1) of the padded signal;
+    Rows are independent channel-chunks (all channels of one chunk in one
+    dispatch — frames of different rows just extend the frame batch axis).
+    A 1D input is treated as a single row; 2D outputs carry the row axis
+    ([R, CHUNK], [R, CHUNK, ...]).
+
+    audio_ext covers frames [f0-1, f0+CHUNK+1) of the padded signal;
     out-of-clip regions are zeros, which makes edge-frame transients
     exactly False — identical to the spec codec's priming.
 
@@ -75,113 +80,152 @@ def _analyze_chunk(audio_ext, fs, window_switching, full_psycho, window):
     bit-identical to the host float path for 16-bit sources, at half the
     upload bytes).
     """
+    squeeze = audio_ext.ndim == 1
+    if squeeze:
+        audio_ext = audio_ext[None]
     with jax.default_matmul_precision("highest"):
         if audio_ext.dtype == jnp.int16:
             audio_ext = audio_ext.astype(jnp.float32) * jnp.float32(
                 1.0 / 32768.0)
-        chunk_frames = audio_ext.shape[0] // C.HOP - 3
+        r = audio_ext.shape[0]
+        chunk_frames = audio_ext.shape[1] // C.HOP - 3
         idx = (np.arange(C.LONG_SIZE)[None, :]
                + C.HOP * np.arange(chunk_frames + 2)[:, None])
-        frames_ext = audio_ext[idx]                      # [CHUNK+2, 2048]
-        tr_ext = dsp.detect_transients(frames_ext)
-        bt = _block_types_dev(tr_ext, window_switching)
-        frames = frames_ext[1:-1]
-        coeffs = dsp.analyze(frames, bt, window)
-        allowed, pe, _ = psycho.analyze(frames, coeffs, bt, fs, full_psycho)
+        frames_ext = audio_ext[:, idx]                # [R, CHUNK+2, 2048]
+        tr_ext = dsp.detect_transients(
+            frames_ext.reshape(-1, C.LONG_SIZE)).reshape(r, chunk_frames + 2)
+        bt = _block_types_dev(tr_ext, window_switching)   # [R, CHUNK]
+        frames = frames_ext[:, 1:-1].reshape(-1, C.LONG_SIZE)
+        bt_flat = bt.reshape(-1)
+        coeffs = dsp.analyze(frames, bt_flat, window)
+        allowed, pe, _ = psycho.analyze(frames, coeffs, bt_flat, fs,
+                                        full_psycho)
+        coeffs = coeffs.reshape(r, chunk_frames, -1)
+        allowed = allowed.reshape(r, chunk_frames, -1)
+        pe = pe.reshape(r, chunk_frames)
+    if squeeze:
+        return bt[0], coeffs[0], allowed[0], pe[0]
     return bt, coeffs, allowed, pe
 
 
 @functools.partial(jax.jit,
                    static_argnames=("mean_bits", "cap", "use_reservoir"))
 def _budget_stage(pe, nf_real, mean_bits, cap, use_reservoir):
-    """[nf_pad] device PE + real frame count -> [nf_pad] int32 budgets.
+    """[..., nf_pad] device PE + real frame count -> int32 budgets.
 
     Integer-exact mirror of spec/reservoir.allocate (padding frames have
     pe == 0 and sit after the real frames, so they cannot disturb the
-    reservoir chain of real frames).
+    reservoir chain of real frames). A leading row axis (one reservoir
+    chain per channel) is vmapped.
     """
     if not use_reservoir:
         return jnp.full(pe.shape, mean_bits, jnp.int32)
-    pe_q = reservoir.quantize_pe(pe)
-    mean_pe = jnp.maximum(pe_q.sum() // nf_real, 1)
-    desired = reservoir.desired_bits(pe_q, mean_bits, mean_pe)
-    budgets, _ = reservoir.budgets_scan(desired, mean_bits, cap)
-    return budgets
+
+    def one(pe1):
+        pe_q = reservoir.quantize_pe(pe1)
+        mean_pe = jnp.maximum(pe_q.sum() // nf_real, 1)
+        desired = reservoir.desired_bits(pe_q, mean_bits, mean_pe)
+        budgets, _ = reservoir.budgets_scan(desired, mean_bits, cap)
+        return budgets
+
+    return jax.vmap(one)(pe) if pe.ndim == 2 else one(pe)
 
 
 @functools.partial(jax.jit, static_argnames=("fs",))
 def _rd_chunk(coeffs, allowed, budgets, bt, fs):
-    """RD + codebook choice; outputs in compact dtypes for the D2H hop."""
+    """RD + codebook choice; outputs in compact dtypes for the D2H hop.
+
+    Accepts flat [F, ...] inputs or row-batched [R, CHUNK, ...] (rows fold
+    into the frame batch axis; outputs keep the row axis).
+    """
+    lead = coeffs.shape[:-1]
     with jax.default_matmul_precision("highest"):
-        q, amp, gain, bits = rd.rd_batch(coeffs, allowed, budgets, bt, fs)
-        cb, _ = entropy.payload_costs_and_choice(q, bt, fs)
-    return (q.astype(jnp.int16), amp.astype(jnp.int8),
-            gain.astype(jnp.int16), bt.astype(jnp.int8),
-            cb.astype(jnp.int8), bits)
+        q, amp, gain, bits = rd.rd_batch(
+            coeffs.reshape(-1, coeffs.shape[-1]),
+            allowed.reshape(-1, allowed.shape[-1]),
+            budgets.reshape(-1), bt.reshape(-1), fs)
+        cb, _ = entropy.payload_costs_and_choice(q, bt.reshape(-1), fs)
+    rs = lambda a: a.reshape(lead + a.shape[1:])
+    return (rs(q).astype(jnp.int16), rs(amp).astype(jnp.int8),
+            rs(gain).astype(jnp.int16), bt.astype(jnp.int8),
+            rs(cb).astype(jnp.int8), rs(bits))
 
 
-def _chunk_schedule(nf: int):
-    """Cover nf frames with big chunks plus small tail chunks (bounds the
-    zero-padding waste to < SMALL frames while keeping the executable count
-    at two sizes)."""
-    small = max(ENC_CHUNK // 4, 16)
-    sizes = [ENC_CHUNK] * (nf // ENC_CHUNK)
-    rem = nf - sum(sizes)
-    sizes += [small] * (-(-rem // small)) if rem else []
-    return sizes or [small]
+def _chunk_schedule(nf: int, base: int | None = None):
+    """Cover nf frames with a three-tier chunk ladder (base, /4, /16).
+
+    Bounds zero-padding waste to < base/16 frames while keeping the
+    executable count at three sizes per stage (compiled once, cached)."""
+    base = ENC_CHUNK if base is None else base
+    tiers = [base, max(base // 4, 16), max(base // 16, 16)]
+    sizes, rem = [], nf
+    for i, t in enumerate(tiers):
+        k = rem // t if i < len(tiers) - 1 else -(-rem // t)
+        sizes += [t] * k
+        rem -= k * t
+    return sizes or [tiers[-1]]
+
+
+def _padded_rows(x: np.ndarray, nf_pad: int):
+    """PCM [n, nch] -> padded signal rows [nch, plen]: [2*HOP zeros | x |
+    zeros]; frame f spans P[:, (f+1)*HOP : (f+1)*HOP + LONG_SIZE]."""
+    n, nch = x.shape
+    plen = 2 * C.HOP + nf_pad * C.HOP + 2 * C.HOP + C.LONG_SIZE
+    dtype = np.int16 if x.dtype == np.int16 else np.float32
+    P = np.zeros((nch, plen), dtype)
+    P[:, 2 * C.HOP:2 * C.HOP + n] = x.T
+    return P
+
+
+def _analyze_all(P, sizes, starts, nf, cfg):
+    """Dispatch every chunk with all channel rows batched -> per-chunk
+    device tuples plus the [nch, nf_pad] budget matrix."""
+    chunks = []
+    for c in range(len(sizes)):
+        lo = int(starts[c]) * C.HOP
+        sl = jnp.asarray(P[:, lo:lo + (sizes[c] + 3) * C.HOP])
+        chunks.append(_analyze_chunk(
+            sl, cfg.fs, cfg.window_switching, cfg.full_psycho, cfg.window))
+    pes = [ch[3] for ch in chunks]
+    pe_full = pes[0] if len(pes) == 1 else jnp.concatenate(pes, axis=1)
+    budgets = _budget_stage(pe_full, jnp.int32(nf), int(cfg.mean_frame_bits),
+                            cfg.reservoir_cap, cfg.reservoir)
+    return chunks, budgets
 
 
 def encode_arrays(x: np.ndarray, cfg: CodecConfig):
-    """PCM [n, ch] -> dict of numpy decision arrays [nch, nf, ...], nf."""
+    """PCM [n, ch] -> dict of numpy decision arrays [nch, nf, ...], nf.
+
+    All channels of a chunk run as ONE device dispatch (channel rows fold
+    into the frame batch axis), so a stereo clip costs the same dispatch
+    count as mono and each executable sees twice the batch.
+    """
     t0 = _time.perf_counter()
     n, nch = x.shape
     nf = cfg.frames_for_samples(n)
     sizes = _chunk_schedule(nf)
     n_chunks = len(sizes)
     starts = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
-    nf_pad = int(starts[-1])
-    mean_bits = int(cfg.mean_frame_bits)
 
-    # padded signal: [2*HOP zeros | x | zeros]; frame f spans
-    # P[(f+1)*HOP : (f+1)*HOP + LONG_SIZE]
-    plen = 2 * C.HOP + nf_pad * C.HOP + 2 * C.HOP + C.LONG_SIZE
-
-    dtype = np.int16 if x.dtype == np.int16 else np.float32
-    per_ch = []
-    for ch in range(nch):
-        P = np.zeros(plen, dtype)
-        P[2 * C.HOP:2 * C.HOP + n] = x[:, ch]
-        bts, cos, als, pes = [], [], [], []
-        for c in range(n_chunks):
-            lo = int(starts[c]) * C.HOP
-            sl = jnp.asarray(P[lo:lo + (sizes[c] + 3) * C.HOP])
-            bt, co, al, pe = _analyze_chunk(
-                sl, cfg.fs, cfg.window_switching, cfg.full_psycho, cfg.window)
-            bts.append(bt)
-            cos.append(co)
-            als.append(al)
-            pes.append(pe)
-        pe_full = pes[0] if n_chunks == 1 else jnp.concatenate(pes)
-        budgets = _budget_stage(pe_full, jnp.int32(nf), mean_bits,
-                                cfg.reservoir_cap, cfg.reservoir)
-        outs = []
-        for c in range(n_chunks):
-            b = budgets[int(starts[c]):int(starts[c + 1])]
-            o = _rd_chunk(cos[c], als[c], b, bts[c], cfg.fs)
-            for a in o:          # overlap D2H with later chunks' compute
-                a.copy_to_host_async()
-            outs.append(o)
-        per_ch.append(outs)
-    _tlog(t0, f"dispatched {nch}x{n_chunks} chunks {sizes}")
+    P = _padded_rows(x, int(starts[-1]))
+    chunks, budgets = _analyze_all(P, sizes, starts, nf, cfg)
+    outs = []
+    for c in range(n_chunks):
+        bt, co, al, _ = chunks[c]
+        b = budgets[:, int(starts[c]):int(starts[c + 1])]
+        o = _rd_chunk(co, al, b, bt, cfg.fs)
+        for a in o:              # overlap D2H with later chunks' compute
+            a.copy_to_host_async()
+        outs.append(o)
+    _tlog(t0, f"dispatched {n_chunks} row-batched chunks {sizes}")
 
     # ONE synchronizing gather of the compact decision arrays.
-    host = jax.device_get(per_ch)
+    host = jax.device_get(outs)
     _tlog(t0, "device_get done")
     dec = {}
     for k, i in (("q", 0), ("amp", 1), ("gain", 2), ("bt", 3), ("cb", 4)):
-        arr = np.stack([np.concatenate([host[ch][c][i]
-                                        for c in range(n_chunks)])[:nf]
-                        for ch in range(nch)])
+        arr = np.concatenate([host[c][i] for c in range(n_chunks)],
+                             axis=1)[:, :nf]
         dec[k] = arr.astype(np.int32)
     _tlog(t0, "decisions assembled")
     return dec, nf
@@ -220,50 +264,31 @@ def encode_device_packed(x: np.ndarray, cfg: CodecConfig) -> bytes:
     sizes = _chunk_schedule(nf)
     n_chunks = len(sizes)
     starts = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
-    nf_pad = int(starts[-1])
-    mean_bits = int(cfg.mean_frame_bits)
     cap = record_cap_bytes(cfg)
 
-    plen = 2 * C.HOP + nf_pad * C.HOP + 2 * C.HOP + C.LONG_SIZE
-    dtype = np.int16 if x.dtype == np.int16 else np.float32
-    per_ch = []
-    for ch in range(nch):
-        P = np.zeros(plen, dtype)
-        P[2 * C.HOP:2 * C.HOP + n] = x[:, ch]
-        bts, cos, als, pes = [], [], [], []
-        for c in range(n_chunks):
-            lo = int(starts[c]) * C.HOP
-            sl = jnp.asarray(P[lo:lo + (sizes[c] + 3) * C.HOP])
-            bt, co, al, pe = _analyze_chunk(
-                sl, cfg.fs, cfg.window_switching, cfg.full_psycho, cfg.window)
-            bts.append(bt)
-            cos.append(co)
-            als.append(al)
-            pes.append(pe)
-        pe_full = pes[0] if n_chunks == 1 else jnp.concatenate(pes)
-        budgets = _budget_stage(pe_full, jnp.int32(nf), mean_bits,
-                                cfg.reservoir_cap, cfg.reservoir)
-        outs = []
-        for c in range(n_chunks):
-            b = budgets[int(starts[c]):int(starts[c + 1])]
-            q, amp, gain, bt8, cb, bits = _rd_chunk(cos[c], als[c], b,
-                                                    bts[c], cfg.fs)
-            rec, nbytes = pack_records_device(q, amp, gain, bt8, cb,
-                                              cfg.fs, cap)
-            rec.copy_to_host_async()
-            nbytes.copy_to_host_async()
-            outs.append((rec, nbytes))
-        per_ch.append(outs)
-    _tlog(t0, f"dispatched {nch}x{n_chunks} chunks (device pack)")
+    P = _padded_rows(x, int(starts[-1]))
+    chunks, budgets = _analyze_all(P, sizes, starts, nf, cfg)
+    outs = []
+    for c in range(n_chunks):
+        bt, co, al, _ = chunks[c]
+        b = budgets[:, int(starts[c]):int(starts[c + 1])]
+        q, amp, gain, bt8, cb, bits = _rd_chunk(co, al, b, bt, cfg.fs)
+        flat = lambda a: a.reshape((-1,) + a.shape[2:])
+        rec, nbytes = pack_records_device(flat(q), flat(amp), flat(gain),
+                                          flat(bt8), flat(cb), cfg.fs, cap)
+        rec = rec.reshape(nch, sizes[c], cap)
+        nbytes = nbytes.reshape(nch, sizes[c])
+        rec.copy_to_host_async()
+        nbytes.copy_to_host_async()
+        outs.append((rec, nbytes))
+    _tlog(t0, f"dispatched {n_chunks} row-batched chunks (device pack)")
 
-    host = jax.device_get(per_ch)
+    host = jax.device_get(outs)
     _tlog(t0, "device_get done")
-    rec = np.stack([np.concatenate([host[ch][c][0]
-                                    for c in range(n_chunks)])[:nf]
-                    for ch in range(nch)])          # [nch, nf, cap]
-    nbytes = np.stack([np.concatenate([host[ch][c][1]
-                                       for c in range(n_chunks)])[:nf]
-                       for ch in range(nch)]).astype(np.int64)
+    rec = np.concatenate([host[c][0] for c in range(n_chunks)],
+                         axis=1)[:, :nf]            # [nch, nf, cap]
+    nbytes = np.concatenate([host[c][1] for c in range(n_chunks)],
+                            axis=1)[:, :nf].astype(np.int64)
     # channel-interleave record runs: order (f, ch)
     rec = np.swapaxes(rec, 0, 1).reshape(nf * nch, cap)
     nbytes = np.swapaxes(nbytes, 0, 1).reshape(nf * nch)

@@ -40,7 +40,12 @@ def _e_bin_for(gains, amp, bin_mask):
 
 
 def _bits_for_gains(x, amp, gains, bt, fs, masks=None, bin_mask=None):
-    """-> (bits [F, G] int32, q [F, G, 1024] int32)."""
+    """-> bits [F, G] int32 (exact frame content cost per gain candidate).
+
+    The candidate q tensors are consumed only by the cost lookups, so XLA
+    fuses the quantizer power law into them and no [F, G, 1024] q is ever
+    materialized in HBM.
+    """
     lay = T.unified_layout(fs)
     if bin_mask is None:
         bin_mask = entropy._select_by_bt(lay["band_mask"],
@@ -50,8 +55,29 @@ def _bits_for_gains(x, amp, gains, bt, fs, masks=None, bin_mask=None):
     g = gains.shape[-1]
     amp_b = jnp.broadcast_to(amp[:, None, :],
                              (amp.shape[0], g, amp.shape[1]))
-    bits = entropy.frame_content_bits(q, amp_b, bt, fs, masks=masks)
-    return bits, q
+    return entropy.frame_content_bits(q, amp_b, bt, fs, masks=masks)
+
+
+def _q_for_gain(x, amp, gain, bin_mask):
+    """Re-quantize at the single selected gain ([F] -> q [F, 1024]).
+
+    Decision-neutral: quantize is deterministic, so recomputing q for the
+    chosen candidate is identical to having kept that candidate's q — at
+    1/G of the HBM traffic of materializing every candidate.
+    """
+    e_bin = _e_bin_for(gain[:, None], amp, bin_mask)[:, 0]
+    return quantize.quantize(x, e_bin)
+
+
+def _pick_first_fit(cand, bits_c, budget_content):
+    """Lowest-index fitting candidate (last candidate as fallback)."""
+    fits = bits_c <= budget_content[:, None]
+    idx = jnp.where(fits.any(axis=1), jnp.argmax(fits, axis=1),
+                    cand.shape[1] - 1)
+    onehot = jnp.arange(cand.shape[1])[None, :] == idx[:, None]
+    gain = jnp.sum(jnp.where(onehot, cand, 0), axis=1).astype(I32)
+    bits = jnp.sum(jnp.where(onehot, bits_c, 0), axis=1)
+    return gain, bits
 
 
 def inner_gain_search(x, amp, budget_content, bt, fs, masks=None,
@@ -59,7 +85,7 @@ def inner_gain_search(x, amp, budget_content, bt, fs, masks=None,
     """Batched two-stage sweep -> (gain [F], q [F,1024], bits [F])."""
     nf = x.shape[0]
     coarse = jnp.broadcast_to(jnp.asarray(COARSE)[None, :], (nf, len(COARSE)))
-    bits_c, _ = _bits_for_gains(x, amp, coarse, bt, fs, masks, bin_mask)
+    bits_c = _bits_for_gains(x, amp, coarse, bt, fs, masks, bin_mask)
     fits = bits_c <= budget_content[:, None]
     has = fits.any(axis=1)
     g0 = jnp.where(has,
@@ -69,14 +95,9 @@ def inner_gain_search(x, amp, budget_content, bt, fs, masks=None,
     fine = jnp.clip(g0[:, None] + jnp.arange(-C.GAIN_COARSE_STEP + 1, 1,
                                              dtype=I32)[None, :],
                     C.GAIN_MIN, C.GAIN_MAX)                   # [F, 8] asc
-    bits_f, q_f = _bits_for_gains(x, amp, fine, bt, fs, masks, bin_mask)
-    fits_f = bits_f <= budget_content[:, None]
-    idx = jnp.where(fits_f.any(axis=1), jnp.argmax(fits_f, axis=1),
-                    fine.shape[1] - 1)
-    onehot = jnp.arange(fine.shape[1])[None, :] == idx[:, None]
-    gain = jnp.sum(jnp.where(onehot, fine, 0), axis=1).astype(I32)
-    bits = jnp.sum(jnp.where(onehot, bits_f, 0), axis=1)
-    q = jnp.sum(jnp.where(onehot[:, :, None], q_f, 0), axis=1)
+    bits_f = _bits_for_gains(x, amp, fine, bt, fs, masks, bin_mask)
+    gain, bits = _pick_first_fit(fine, bits_f, budget_content)
+    q = _q_for_gain(x, amp, gain, bin_mask)
     return gain, q, bits
 
 
@@ -91,14 +112,9 @@ def refine_gain_search(x, amp, budget_content, prev_gain, bt, fs,
     cand = jnp.minimum(prev_gain[:, None] + jnp.asarray(offs)[None, :],
                        C.GAIN_MAX)
     cand = cand.at[:, -1].set(C.GAIN_MAX)
-    bits_c, q_c = _bits_for_gains(x, amp, cand, bt, fs, masks, bin_mask)
-    fits = bits_c <= budget_content[:, None]
-    idx = jnp.where(fits.any(axis=1), jnp.argmax(fits, axis=1),
-                    cand.shape[1] - 1)
-    onehot = jnp.arange(cand.shape[1])[None, :] == idx[:, None]
-    gain = jnp.sum(jnp.where(onehot, cand, 0), axis=1).astype(I32)
-    bits = jnp.sum(jnp.where(onehot, bits_c, 0), axis=1)
-    q = jnp.sum(jnp.where(onehot[:, :, None], q_c, 0), axis=1)
+    bits_c = _bits_for_gains(x, amp, cand, bt, fs, masks, bin_mask)
+    gain, bits = _pick_first_fit(cand, bits_c, budget_content)
+    q = _q_for_gain(x, amp, gain, bin_mask)
     return gain, q, bits
 
 

@@ -33,8 +33,8 @@ def test_quant_kernel_matches_xla():
     coeffs = dsp.analyze(jnp.asarray(fr), jnp.asarray(bt))
     amp = jnp.zeros((32, T.unified_layout(44100)["nb"]), jnp.int32)
     gains = jnp.broadcast_to(jnp.asarray(rd.COARSE)[None, :], (32, 32))
-    bits_ref, _ = rd._bits_for_gains(coeffs, amp, gains, jnp.asarray(bt),
-                                     44100)
+    bits_ref = rd._bits_for_gains(coeffs, amp, gains, jnp.asarray(bt),
+                                  44100)
     bits_ker = quant_kernel.bits_for_gains(coeffs, amp, gains,
                                            jnp.asarray(bt), 44100,
                                            interpret=True)
