@@ -81,9 +81,12 @@ def lut2(table2d: np.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     tab = jnp.asarray(np.asarray(table2d), jnp.bfloat16)
     na, nb = tab.shape
     oh_a = (a[..., None] == jnp.arange(na, dtype=a.dtype)).astype(jnp.bfloat16)
+    # bf16 output is exact here: every product is 0/1 x (value <= 255) and
+    # only one term per row is nonzero, so no rounding can occur — and the
+    # [..., nb] intermediate costs half the HBM traffic of f32.
     rows = jnp.einsum("...a,ab->...b", oh_a, tab,
                       precision=jax.lax.Precision.DEFAULT,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.bfloat16)
     oh_b = b[..., None] == jnp.arange(nb, dtype=b.dtype)
     return jnp.sum(jnp.where(oh_b, rows, 0.0), axis=-1).astype(I32)
 
@@ -113,6 +116,76 @@ def band_sum_mm(per_item: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return out.astype(I32)
 
 
+@functools.lru_cache(maxsize=None)
+def _stacked_masks(fs: int):
+    """Constant block-type-stacked 0/1 masks for band reductions.
+
+    Stacking the five per-block-type masks along the output axis turns the
+    per-frame-mask matmul (which materializes an [F, T, NB] mask tensor in
+    HBM and re-reads it on every call) into ONE constant-operand matmul
+    producing [..., 5*NB], followed by a cheap per-frame group select. For
+    the small candidate counts of the refine loop this cuts HBM traffic by
+    an order of magnitude. Integer-exact: 0/1 x (value <= 256) products are
+    exact in bf16 and f32 accumulation stays < 2^24.
+    """
+    lay = T.unified_layout(fs)
+    nb = lay["nb"]
+
+    def stack(m):   # [T_types, T_items, NB] -> [T_items, T_types*NB]
+        return np.concatenate([np.asarray(m[t], np.float32)
+                               for t in range(C.N_BLOCK_TYPES)], axis=1)
+
+    # NOTE: cache numpy, not jnp — a jnp constant created inside a trace is
+    # a tracer, and caching it across jit boundaries leaks it.
+    return {
+        "s2": stack(lay["mask2"]),
+        "s4": stack(lay["mask4"]),
+        # [NB, T_types*1024]: expands per-band values to per-bin values
+        "sbin": np.concatenate(
+            [np.asarray(lay["band_mask"][t], np.float32).T
+             for t in range(C.N_BLOCK_TYPES)], axis=1),
+        "nb": nb,
+    }
+
+
+def _select_group(out5: jnp.ndarray, bt: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """[F, ..., 5*nb] f32 + bt [F] -> [F, ..., nb] i32 (branchless select)."""
+    res = jnp.zeros(out5.shape[:-1] + (nb,), jnp.float32)
+    for t in range(C.N_BLOCK_TYPES):
+        sel = (bt == t).astype(jnp.float32).reshape(
+            (-1,) + (1,) * (out5.ndim - 1))
+        res = res + sel * out5[..., t * nb:(t + 1) * nb]
+    return res.astype(I32)
+
+
+def band_sum_sel(per_item: jnp.ndarray, bt: jnp.ndarray,
+                 stacked: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """Integer-exact band reduction via the stacked constant mask.
+
+    per_item: [F, ..., T] int values <= 256 (frame axis first); stacked:
+    [T, 5*nb] from _stacked_masks. Returns int32 [F, ..., nb]."""
+    out5 = jnp.einsum("f...t,tn->f...n", per_item.astype(jnp.bfloat16),
+                      jnp.asarray(stacked, jnp.bfloat16),
+                      precision=jax.lax.Precision.DEFAULT,
+                      preferred_element_type=jnp.float32)
+    return _select_group(out5, bt, nb)
+
+
+def amp_to_bins(amp: jnp.ndarray, bt: jnp.ndarray, fs: int) -> jnp.ndarray:
+    """[F, NB] int amp -> [F, 1024] per-bin amp (exact band expansion).
+
+    Every bin belongs to exactly one band (tables.unified_layout invariant,
+    checked at table build), so the 0/1 expansion matmul is exact and
+    clip(gain - amp_to_bins(amp)) equals the spec's per-band clip followed
+    by bin_band indexing."""
+    st = _stacked_masks(fs)
+    out5 = jnp.einsum("fn,nt->ft", amp.astype(jnp.bfloat16),
+                      jnp.asarray(st["sbin"], jnp.bfloat16),
+                      precision=jax.lax.Precision.DEFAULT,
+                      preferred_element_type=jnp.float32)
+    return _select_group(out5, bt, C.LONG_COEFFS)
+
+
 def escape_bits(mag: jnp.ndarray) -> jnp.ndarray:
     """Escape suffix bits per value: integer-exact (no float log2)."""
     m = jnp.abs(mag)
@@ -135,13 +208,9 @@ def payload_costs_and_choice(q: jnp.ndarray, bt: jnp.ndarray, fs: int,
     gathers — TPU gathers made the original formulation ~500x slower.
     """
     tb = _dev_tables(fs)
-    lay = T.unified_layout(fs)
+    st = _stacked_masks(fs)
+    nb = st["nb"]
     lead = q.shape[:-1]
-    if masks is None:
-        mask2 = _select_by_bt(lay["mask2"], bt).astype(jnp.bfloat16)
-        mask4 = _select_by_bt(lay["mask4"], bt).astype(jnp.bfloat16)
-    else:
-        mask2, mask4 = masks
     width = _select_by_bt(tb["width"], bt)        # [F, NB]
     wshape = (width.shape[0],) + (1,) * (len(lead) - 1) + (width.shape[-1],)
     width = width.reshape(wshape)
@@ -150,14 +219,14 @@ def payload_costs_and_choice(q: jnp.ndarray, bt: jnp.ndarray, fs: int,
     # CB_SMALL: 4-tuples of clipped values, split into two 9-way digits
     c = jnp.clip(q, -1, 1) + 1
     t4 = c.reshape(lead + (-1, 4))
-    bits1 = band_sum_mm(lut2(tb["len_small"].reshape(9, 9),
-                             t4[..., 0] * 3 + t4[..., 1],
-                             t4[..., 2] * 3 + t4[..., 3]), mask4)
+    bits1 = band_sum_sel(lut2(tb["len_small"].reshape(9, 9),
+                              t4[..., 0] * 3 + t4[..., 1],
+                              t4[..., 2] * 3 + t4[..., 3]), bt, st["s4"], nb)
     # CB_MID: pairs
     c2 = jnp.clip(q, -4, 4) + 4
     t2 = c2.reshape(lead + (-1, 2))
-    bits2 = band_sum_mm(lut2(tb["len_mid"].reshape(9, 9),
-                             t2[..., 0], t2[..., 1]), mask2)
+    bits2 = band_sum_sel(lut2(tb["len_mid"].reshape(9, 9),
+                              t2[..., 0], t2[..., 1]), bt, st["s2"], nb)
     # CB_ESC: magnitude pairs + signs + escapes
     m2 = jnp.minimum(aq, C.ESC_MAG).reshape(lead + (-1, 2))
     qp = aq.reshape(lead + (-1, 2))
@@ -165,14 +234,14 @@ def payload_costs_and_choice(q: jnp.ndarray, bt: jnp.ndarray, fs: int,
                 m2[..., 0], m2[..., 1])
            + (qp[..., 0] != 0).astype(I32) + (qp[..., 1] != 0).astype(I32)
            + escape_bits(qp[..., 0]) + escape_bits(qp[..., 1]))
-    bits3 = band_sum_mm(esc, mask2)
+    bits3 = band_sum_sel(esc, bt, st["s2"], nb)
 
     # validity via integer pair counts (exact; <= 2 per pair)
     pair = lambda pred: (pred.reshape(lead + (-1, 2))[..., 0].astype(I32)
                          + pred.reshape(lead + (-1, 2))[..., 1].astype(I32))
-    n_gt0 = band_sum_mm(pair(aq > 0), mask2)
-    n_gt1 = band_sum_mm(pair(aq > 1), mask2)
-    n_gt4 = band_sum_mm(pair(aq > 4), mask2)
+    n_gt0 = band_sum_sel(pair(aq > 0), bt, st["s2"], nb)
+    n_gt1 = band_sum_sel(pair(aq > 1), bt, st["s2"], nb)
+    n_gt4 = band_sum_sel(pair(aq > 4), bt, st["s2"], nb)
 
     costs = jnp.stack([jnp.zeros_like(bits1), bits1, bits2, bits3], axis=-1)
     valid = jnp.stack([n_gt0 == 0, n_gt1 == 0, n_gt4 == 0,
