@@ -166,23 +166,36 @@ def main():
         f"-> RTF {tpu_rtf:.1f}x ({nf * channels / tpu_dt:.0f} frames/s), "
         f"rate {len(bs) * 8 / args.seconds / 1000:.1f} kbps")
 
+    # --- quality vs the normative spec codec: SAME clip, SAME duration,
+    # equal bitrate through both engines (BASELINE.json:2,5). The spec
+    # stream bs_spec above already encodes xi_spec; the TPU engine encodes
+    # the identical samples and each engine decodes its own stream.
+    bs_tpu_q = tcodec.encode(xi_spec, cfg)
+    y_tpu_q, _ = tcodec.decode(bs_tpu_q)
+    y_spec_q, _ = scodec.decode(bs_spec)
+    ssnr_tpu = segmental_snr(x_spec[:, 0], y_tpu_q[:, 0])
+    ssnr_spec = segmental_snr(x_spec[:, 0], y_spec_q[:, 0])
+    same_stream = bs_tpu_q == bs_spec
+    log(f"quality ({args.spec_seconds}s clip @128 kbps): "
+        f"segSNR tpu {ssnr_tpu:.2f} dB vs spec {ssnr_spec:.2f} dB; "
+        f"streams {'byte-identical' if same_stream else 'differ'}")
+
     if args.full:
         y, _ = tcodec.decode(bs, pcm_dtype="int16")   # warm (compiles)
         t0 = time.perf_counter()
         y, _ = tcodec.decode(bs, pcm_dtype="int16")
         dec_dt = time.perf_counter() - t0
-        yf = y.astype(np.float32) / 32767.0
-        ssnr = segmental_snr(x[:, 0], yf[:, 0])
-        y_s, _ = scodec.decode(bs_spec)
-        ssnr_spec = segmental_snr(x_spec[:, 0], y_s[:, 0])
-        log(f"tpu decode RTF {args.seconds / dec_dt:.1f}x; "
-            f"segSNR tpu {ssnr:.2f} dB (spec clip: {ssnr_spec:.2f} dB)")
+        log(f"tpu decode RTF {args.seconds / dec_dt:.1f}x")
 
     print(json.dumps({
         "metric": "encode_realtime_factor_per_chip_128kbps_stereo",
         "value": round(tpu_rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(tpu_rtf / spec_rtf, 2),
+        "seg_snr_db": round(ssnr_tpu, 2),
+        "seg_snr_spec_db": round(ssnr_spec, 2),
+        "seg_snr_vs_spec_db": round(ssnr_tpu - ssnr_spec, 2),
+        "stream_matches_spec": same_stream,
     }))
 
 

@@ -123,7 +123,7 @@ def _budget_stage(pe, nf_real, mean_bits, cap, use_reservoir):
 
     def one(pe1):
         pe_q = reservoir.quantize_pe(pe1)
-        mean_pe = jnp.maximum(pe_q.sum() // nf_real, 1)
+        mean_pe = reservoir.mean_pe_exact(pe_q, nf_real)   # int32-safe sum
         desired = reservoir.desired_bits(pe_q, mean_bits, mean_pe)
         budgets, _ = reservoir.budgets_scan(desired, mean_bits, cap)
         return budgets

@@ -7,11 +7,17 @@ without touching HBM for any [F, G, 1024] intermediate:
 * codeword-length lookups are one-hot bf16 dots against the length tables
   (builds a [tuples, n_sym] one-hot in VMEM via iota compare — no dynamic
   indexing, nothing Mosaic cannot lower),
+* the escape-pair table is looked up in SEPARABLE form — row select via
+  onehot(m0) @ L[17,17], column select via a masked row sum with
+  onehot(m1) — so the worst one-hot is 17 wide, not 289 (the round-1
+  [16k, 289] bf16 one-hot was ~9.5 MB of VMEM and crashed the Mosaic
+  compile; VERDICT r1 #2),
 * band reductions are 0/1 mask matmuls per block type, combined branchless.
 
-Bit-exact vs the XLA path (ops/rd._bits_for_gains) — asserted in
-tests/test_pallas.py; the XLA path stays the default (it is already
-MXU-bound), this kernel is the fused alternative for the hot inner loop.
+All lookup arithmetic is integer-valued (lengths <= 256, bf16-exact), so
+the kernel is bit-exact vs the XLA path (ops/rd._bits_for_gains) —
+asserted in tests/test_pallas.py (interpret) and on hardware by
+scripts/tpu_kernel_probe.py.
 """
 from __future__ import annotations
 
@@ -46,11 +52,30 @@ def _onehot_dot(sym, table, n_sym: int):
     return out.reshape(r, t)
 
 
+def _esc_pair_dot(m0, m1, esc17):
+    """Exact separable pair lookup: L[m0, m1] per tuple.
+
+    m0/m1 [R, T] int32 in [0, 17); esc17 [17, 17] f32 (integer entries).
+    rows = onehot(m0) @ esc17 selects row m0 (sum of one product); the
+    masked row sum with onehot(m1) selects the column. Both exact."""
+    r, t = m0.shape
+    n = C.ESC_MAG + 1
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r * t, n), 1)
+    oh0 = (m0.reshape(r * t, 1) == iota).astype(jnp.bfloat16)
+    rows = jax.lax.dot_general(
+        oh0, esc17.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [R*T, 17]
+    sel = (m1.reshape(r * t, 1) == iota).astype(jnp.float32)
+    return jnp.sum(rows * sel, axis=1).reshape(r, t)
+
+
 def _quant_kernel(x_ref, amp_bin_ref, gains_ref, bt_ref,
                   small_ref, mid_ref, esc_ref,
                   mask2_ref, mask4_ref, out_ref):
     """x [BF,1024], amp_bin [BF,1024], gains [BF,G], bt [BF,1],
-    len tables [n,1] f32, mask2 [5,512,NB], mask4 [5,256,NB] f32;
+    small/mid len tables [81,1] f32, esc table [17,17] f32,
+    mask2 [5,512,NB], mask4 [5,256,NB] f32;
     out [BF,G]: total payload bits per (frame, gain).
 
     The gain loop is a fori with NO dynamic ref indexing: the current
@@ -77,7 +102,6 @@ def _quant_kernel(x_ref, amp_bin_ref, gains_ref, bt_ref,
         t2 = (jnp.clip(q, -4, 4) + 4).reshape(bf, 512, 2)
         sym2 = t2[..., 0] * 9 + t2[..., 1]
         m2 = jnp.minimum(mag, C.ESC_MAG).reshape(bf, 512, 2)
-        sym3 = m2[..., 0] * (C.ESC_MAG + 1) + m2[..., 1]
 
         bits1_t = _onehot_dot(sym1, small_ref[:], 81)      # [BF, 256]
         bits2_t = _onehot_dot(sym2, mid_ref[:], 81)
@@ -87,7 +111,7 @@ def _quant_kernel(x_ref, amp_bin_ref, gains_ref, bt_ref,
             e_esc = e_esc + (mp >= (1 << k)).astype(jnp.int32)
         extra = (jnp.where(mp >= C.ESC_MAG, 2 * e_esc - 3, 0)
                  + (mp > 0).astype(jnp.int32)).sum(axis=-1)  # [BF, 512]
-        bits3_t = (_onehot_dot(sym3, esc_ref[:], 289)
+        bits3_t = (_esc_pair_dot(m2[..., 0], m2[..., 1], esc_ref[:])
                    + extra.astype(jnp.float32))
 
         n0_t = (mp > 0).sum(axis=-1).astype(jnp.float32)
@@ -159,7 +183,7 @@ def payload_bits_for_gains(coeffs, amp, gains, bt, fs: int,
             pl.BlockSpec((BLOCK_F, 1), lambda i: (i, 0)),
             pl.BlockSpec((81, 1), lambda i: (0, 0)),
             pl.BlockSpec((81, 1), lambda i: (0, 0)),
-            pl.BlockSpec((289, 1), lambda i: (0, 0)),
+            pl.BlockSpec((C.ESC_MAG + 1, C.ESC_MAG + 1), lambda i: (0, 0)),
             pl.BlockSpec((C.N_BLOCK_TYPES, 512, nb), lambda i: (0, 0, 0)),
             pl.BlockSpec((C.N_BLOCK_TYPES, 256, nb), lambda i: (0, 0, 0)),
         ],
@@ -167,7 +191,9 @@ def payload_bits_for_gains(coeffs, amp, gains, bt, fs: int,
         interpret=interpret,
     )(coeffs.astype(jnp.float32), amp_bin, gains.astype(jnp.int32),
       bt.astype(jnp.int32).reshape(nf, 1),
-      tab(ca["len_small"]), tab(ca["len_mid"]), tab(ca["len_esc"]),
+      tab(ca["len_small"]), tab(ca["len_mid"]),
+      np.asarray(ca["len_esc"], np.float32).reshape(C.ESC_MAG + 1,
+                                                    C.ESC_MAG + 1),
       m2, m4)
     return out
 

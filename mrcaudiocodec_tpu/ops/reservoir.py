@@ -11,8 +11,12 @@ so the whole per-frame chain evaluates with `lax.associative_scan` — O(log F)
 depth on device, and shardable across devices by composing per-shard maps
 with one small collective (SURVEY.md §2b N9, §5 'long-context').
 
-All arithmetic is int32 (exact parity with the spec loop for clips where
-mean_bits * pe_q < 2^31 — about 2 hours of audio; chunk longer inputs).
+All arithmetic is int32. The one long-horizon sum (mean PE over the whole
+clip) uses an exact 8/8 split so it cannot overflow before ~4M frames
+(~26 h of 44.1 kHz audio) even at the maximum quantized PE; the remaining
+bound is the reservoir scan's accumulated drift |sum(mean_bits - desired)|
+< 2^31 — about 8 days of audio at 128 kbps. Both far beyond any clip the
+format's 32-bit sample-count header can express (~13.5 h).
 """
 from __future__ import annotations
 
@@ -49,6 +53,28 @@ def desired_bits(pe_q: jnp.ndarray, mean_bits: int, mean_pe) -> jnp.ndarray:
 def quantize_pe(pe: jnp.ndarray) -> jnp.ndarray:
     pe = jnp.clip(pe.astype(jnp.float32), 0.0, 65535.0)
     return jnp.floor(pe).astype(I32)
+
+
+def split_pe_sums(pe_q: jnp.ndarray, axis=-1):
+    """Overflow-safe pieces of sum(pe_q): (hi, lo) with the true sum equal
+    to 256*hi + lo. pe_q < 2^16, so hi/lo stay below 256*F — int32-safe to
+    ~4M frames (vs ~32k frames for a direct worst-case int32 sum)."""
+    return ((pe_q >> 8).sum(axis=axis), (pe_q & 0xFF).sum(axis=axis))
+
+
+def mean_pe_from_sums(hi, lo, nf):
+    """Exact max(1, (256*hi + lo) // nf) in int32: the nf-divisible part of
+    256*hi splits off first, so no intermediate exceeds ~512*nf."""
+    nf = jnp.asarray(nf, I32)
+    mean = (hi // nf) * 256 + ((hi % nf) * 256 + lo) // nf
+    return jnp.maximum(mean, 1)
+
+
+def mean_pe_exact(pe_q: jnp.ndarray, nf) -> jnp.ndarray:
+    """Integer-exact mirror of spec.reservoir.mean_pe_of (host int64) that
+    stays in int32 on device: floor(sum(pe_q)/nf), min 1."""
+    hi, lo = split_pe_sums(pe_q)
+    return mean_pe_from_sums(hi, lo, nf)
 
 
 def budgets_scan(desired: jnp.ndarray, mean_bits: int, cap: int,

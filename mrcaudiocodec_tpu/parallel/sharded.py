@@ -66,6 +66,10 @@ def _shard_encode_body(xp, cfg, total_frames: int, axis: str = "seq"):
     halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)   # priming zeros
 
     ext = jnp.concatenate([halo, xp], axis=1)       # [B, (F_loc+1)*HOP]
+    if ext.dtype == jnp.int16:
+        # 16-bit sources ride the upload + halo exchange as int16 and are
+        # converted on device (exact /32768 — tests/test_int16_path.py)
+        ext = ext.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
     idxs = (np.arange(C.LONG_SIZE)[None, :]
             + C.HOP * np.arange(f_loc)[:, None])    # [F_loc, 2048]
     frames = ext[:, idxs]                           # [B, F_loc, 2048]
@@ -92,9 +96,11 @@ def _shard_encode_body(xp, cfg, total_frames: int, axis: str = "seq"):
     mean_bits = int(cfg.mean_frame_bits)
     if cfg.reservoir:
         pe_q = reservoir.quantize_pe(pe).reshape(b_loc, f_loc)
-        s_local = pe_q.sum(axis=1)                          # [B]
-        s_global = jax.lax.psum(s_local, axis)
-        mean_pe = jnp.maximum(s_global // total_frames, 1)  # [B]
+        hi_l, lo_l = reservoir.split_pe_sums(pe_q, axis=1)  # [B] each
+        hi_g = jax.lax.psum(hi_l, axis)
+        lo_g = jax.lax.psum(lo_l, axis)
+        mean_pe = reservoir.mean_pe_from_sums(hi_g, lo_g,
+                                              total_frames)  # [B]
         desired = reservoir.desired_bits(
             pe_q, mean_bits, mean_pe[:, None])              # [B, F_loc]
         cap = cfg.reservoir_cap

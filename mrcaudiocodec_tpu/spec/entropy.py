@@ -254,6 +254,8 @@ def decode_frame_content(cur: _Bits, fs: int):
     block_type, gain)."""
     lay = T.unified_layout(fs)
     block_type = cur.take(C.BLOCK_TYPE_BITS)
+    if block_type >= C.N_BLOCK_TYPES:
+        raise ValueError(f"invalid block type {block_type}")
     gain = cur.take(C.GAIN_BITS)
     edges = lay["edges"][block_type]
     width = lay["width"][block_type]
@@ -292,6 +294,8 @@ def decode_frame_content(cur: _Bits, fs: int):
                         e = 4
                         while cur.take(1):
                             e += 1
+                            if e > 32:     # corrupt stream guard
+                                raise ValueError("escape exponent overflow")
                         vals[i] = (1 << e) + cur.take(e)
                 for i, s in enumerate(signs):
                     if s:

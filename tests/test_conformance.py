@@ -70,12 +70,17 @@ def test_tpu_path_bit_exact(name, fs, channels, bitrate, kw):
     bs_spec = scodec.encode(x, cfg)
     bs_tpu = tcodec.encode(x, cfg)
     same, nf = frame_agreement(bs_spec, bs_tpu)
-    # The contract: identical rate decisions => identical bitstream. On CPU
-    # the float arithmetic matches closely enough that we demand >= 95% of
-    # frames identical, and byte-identity of the whole stream when all
-    # frames agree.
-    assert same / nf >= 0.95, f"{name}: only {same}/{nf} frames identical"
-    if same == nf:
+    # The contract: identical rate decisions => identical bitstream. On the
+    # CPU backend both engines' decision arithmetic is identical, so every
+    # frame must match and the streams must be byte-equal. On the real TPU
+    # (MRC_TESTS_KEEP_TPU=1) f32 rate decisions may legitimately diverge on
+    # a few frames (BASELINE.md); there we demand >= 95% agreement and that
+    # the hardware-path number is visible in the failure message.
+    import os
+    if os.environ.get("MRC_TESTS_KEEP_TPU"):
+        assert same / nf >= 0.95, f"{name}: only {same}/{nf} frames identical"
+    else:
+        assert same == nf, f"{name}: only {same}/{nf} frames identical"
         assert bs_spec == bs_tpu
 
 
@@ -129,3 +134,20 @@ def test_reservoir_scan_matches_host_loop():
     mean_pe = sres.mean_pe_of(sres.quantize_pe(pe))
     dev = np.asarray(ores.allocate(jnp.asarray(pe), cfg, mean_pe))
     np.testing.assert_array_equal(host, dev)
+
+
+def test_mean_pe_exact_no_overflow():
+    """Device mean-PE must equal the host int64 mean even where a direct
+    int32 sum would overflow (VERDICT r1 missing #6: long-clip horizon)."""
+    import jax.numpy as jnp
+    from mrcaudiocodec_tpu.ops import reservoir as ores
+    rng = np.random.default_rng(4)
+    # 40k frames of worst-case PE: direct int32 sum would wrap at ~32k
+    pe_q = rng.integers(60000, 65536, 40000).astype(np.int32)
+    want = int(np.sum(pe_q.astype(np.int64))) // len(pe_q)
+    got = int(ores.mean_pe_exact(jnp.asarray(pe_q), len(pe_q)))
+    assert got == want
+    # and on realistic magnitudes it matches exactly too
+    pe_q = rng.integers(0, 4000, 12345).astype(np.int32)
+    want = max(1, int(np.sum(pe_q.astype(np.int64))) // len(pe_q))
+    assert int(ores.mean_pe_exact(jnp.asarray(pe_q), len(pe_q))) == want

@@ -135,3 +135,40 @@ def test_32khz_support():
     y, cfg2 = codec.decode(bs)
     assert cfg2.fs == 32000
     assert snr_db(x, y) > 20.0
+
+
+def test_spec_decode_corrupt_stream_safe():
+    """Spec decoder must reject corrupt/truncated payloads with ValueError —
+    never crash, hang, or overrun (mirror of the native decoder fuzz,
+    tests/test_native.py)."""
+    rng = np.random.default_rng(11)
+    cfg = CodecConfig(fs=44100, channels=1, bitrate=96000)
+    x = make_clip(44100, 0.3)
+    bs = codec.encode(x, cfg)
+    for trial in range(16):
+        buf = bytearray(bs)
+        for _ in range(30):
+            pos = int(rng.integers(bitstream.HEADER_BYTES, len(buf)))
+            buf[pos] ^= int(rng.integers(1, 256))
+        cut = bytes(buf[:int(rng.integers(bitstream.HEADER_BYTES + 4,
+                                          len(buf) + 1))])
+        try:
+            codec.decode(cut)
+        except ValueError:
+            pass              # clean rejection is the expected outcome
+
+
+def test_spec_decode_random_bytes_safe():
+    """Pure-garbage payload after a valid header: ValueError or a decoded
+    signal, never an uncontrolled exception."""
+    rng = np.random.default_rng(12)
+    cfg = CodecConfig(fs=44100, channels=1, bitrate=96000)
+    x = make_clip(44100, 0.2)
+    bs = codec.encode(x, cfg)
+    head = bs[:bitstream.HEADER_BYTES]
+    for trial in range(8):
+        body = rng.integers(0, 256, size=len(bs) // 2, dtype=np.uint8)
+        try:
+            codec.decode(head + body.tobytes())
+        except ValueError:
+            pass
