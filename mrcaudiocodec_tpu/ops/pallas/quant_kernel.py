@@ -1,22 +1,30 @@
 """Pallas TPU kernel: fused quantization inner-loop cost sweep (N4).
 
-Grid = (frame blocks, gain candidates). Each instance quantizes one frame
-block at one gain and accumulates the exact Huffman payload bits per band
-without touching HBM for any [F, G, 1024] intermediate:
+Grid = (frame blocks,); a fori loop sweeps the gain candidates. Each
+instance quantizes one frame block at every gain and accumulates the
+exact Huffman payload bits per band without touching HBM for any
+[F, G, 1024] intermediate.
 
-* codeword-length lookups are one-hot bf16 dots against the length tables
-  (builds a [tuples, n_sym] one-hot in VMEM via iota compare — no dynamic
-  indexing, nothing Mosaic cannot lower),
-* the escape-pair table is looked up in SEPARABLE form — row select via
-  onehot(m0) @ L[17,17], column select via a masked row sum with
-  onehot(m1) — so the worst one-hot is 17 wide, not 289 (the round-1
-  [16k, 289] bf16 one-hot was ~9.5 MB of VMEM and crashed the Mosaic
-  compile; VERDICT r1 #2),
-* band reductions are 0/1 mask matmuls per block type, combined branchless.
+Mosaic constraint (measured on the axon v5e: scripts/tpu_quant_bisect.py,
+scripts/tpu_primitive_probe.py): ANY lane-splitting reshape —
+[F,1024]->[F,512,2] tuple views and [F,T]->[F*T,1] one-hot rows alike —
+crashes the remote compile. The kernel therefore works ENTIRELY in flat
+[BF, 1024] lane layout:
 
-All lookup arithmetic is integer-valued (lengths <= 256, bf16-exact), so
-the kernel is bit-exact vs the XLA path (ops/rd._bits_for_gains) —
-asserted in tests/test_pallas.py (interpret) and on hardware by
+* tuple neighbours come from `pltpu.roll` along the lane axis (probe:
+  PASS, bit-exact),
+* codeword lengths come from a separable decomposition of each 2-D length
+  table, L[a,b] = R[a] + C[b] + D[a,b] with sparse D, unrolled as
+  compile-time-constant compare/select/add passes (35 passes for the 9x9
+  small/mid tables, ~120 for the 17x17 escape table — vs 81/289 direct),
+* tuple values live at their first bin (garbage elsewhere); the band-sum
+  masks are zero off tuple starts, so one stacked bf16 matmul per block
+  type reduces all seven per-position quantities at once (lane-padded to
+  128 bands — Mosaic-aligned).
+
+All lookup arithmetic is integer-valued in f32/bf16-exact ranges, so the
+kernel is bit-exact vs the XLA path (ops/rd._bits_for_gains) — asserted
+in tests/test_pallas.py (interpret) and on hardware by
 scripts/tpu_kernel_probe.py.
 """
 from __future__ import annotations
@@ -27,56 +35,85 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ... import config as C
 from ... import tables as T
 
 BLOCK_F = 32
-BIG = np.int32(1 << 24)
+NB_PAD = 128          # band axis padded to one full lane tile
+BIG = float(1 << 24)
 
 
-def _onehot_dot(sym, table, n_sym: int):
-    """Exact lookup: one-hot(sym) @ table via iota compare + MXU dot.
+@functools.lru_cache(maxsize=None)
+def _sep(name: str):
+    """Separable decomposition of a 2-D length table.
 
-    sym [R, T] int32 in [0, n_sym); table [n_sym, 1] f32 (integer-valued,
-    <= 256 so bf16-exact). Returns [R, T] f32 (integer-valued).
+    Returns (R[na], Cc[nb], D sparse list[(sym, val)]) with
+    L[a,b] == R[a] + Cc[b] + D[a*nb+b] and D holding only the nonzero
+    residuals (17 cells for the 9x9 tables, 87 for the 17x17 escape
+    table). Anchor (r0, c0) chosen for minimum residual count.
     """
-    r, t = sym.shape
-    flat = sym.reshape(r * t, 1)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (r * t, n_sym), 1)
-    onehot = (flat == iota).astype(jnp.bfloat16)
-    out = jax.lax.dot_general(
-        onehot, table.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return out.reshape(r, t)
+    ca = T.code_arrays()
+    n = 9 if name in ("len_small", "len_mid") else C.ESC_MAG + 1
+    L = np.asarray(ca[name], np.int64).reshape(n, n)
+    best = None
+    for r0 in range(n):
+        for c0 in range(n):
+            d = L - L[:, c0:c0 + 1] - L[r0:r0 + 1, :] + L[r0, c0]
+            nnz = np.count_nonzero(d)
+            if best is None or nnz < best[0]:
+                best = (nnz, r0, c0)
+    _, r0, c0 = best
+    R = (L[:, c0] - L[r0, c0]).astype(np.int64)
+    Cc = L[r0, :].astype(np.int64)
+    D = L - R[:, None] - Cc[None, :]
+    sparse = [(int(a * n + b), int(D[a, b]))
+              for a in range(n) for b in range(n) if D[a, b]]
+    assert np.array_equal(R[:, None] + Cc[None, :] + D, L)
+    return R.tolist(), Cc.tolist(), sparse
 
 
-def _esc_pair_dot(m0, m1, esc17):
-    """Exact separable pair lookup: L[m0, m1] per tuple.
-
-    m0/m1 [R, T] int32 in [0, 17); esc17 [17, 17] f32 (integer entries).
-    rows = onehot(m0) @ esc17 selects row m0 (sum of one product); the
-    masked row sum with onehot(m1) selects the column. Both exact."""
-    r, t = m0.shape
-    n = C.ESC_MAG + 1
-    iota = jax.lax.broadcasted_iota(jnp.int32, (r * t, n), 1)
-    oh0 = (m0.reshape(r * t, 1) == iota).astype(jnp.bfloat16)
-    rows = jax.lax.dot_general(
-        oh0, esc17.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [R*T, 17]
-    sel = (m1.reshape(r * t, 1) == iota).astype(jnp.float32)
-    return jnp.sum(rows * sel, axis=1).reshape(r, t)
+def _lut_const(idx, vals):
+    """Unrolled constant 1-D lookup: vals[idx] as f32 masked sums."""
+    out = jnp.zeros(idx.shape, jnp.float32)
+    for s, v in enumerate(vals):
+        if v:
+            out = out + jnp.where(idx == s, jnp.float32(v), 0.0)
+    return out
 
 
-def _quant_kernel(x_ref, amp_bin_ref, gains_ref, bt_ref,
-                  small_ref, mid_ref, esc_ref,
-                  mask2_ref, mask4_ref, out_ref):
-    """x [BF,1024], amp_bin [BF,1024], gains [BF,G], bt [BF,1],
-    small/mid len tables [81,1] f32, esc table [17,17] f32,
-    mask2 [5,512,NB], mask4 [5,256,NB] f32;
-    out [BF,G]: total payload bits per (frame, gain).
+def _lut_sparse(sym, pairs):
+    """Unrolled sparse correction: sum of val * (sym == s)."""
+    out = jnp.zeros(sym.shape, jnp.float32)
+    for s, v in pairs:
+        out = out + jnp.where(sym == s, jnp.float32(v), 0.0)
+    return out
+
+
+def _pair_bits(a, b, name):
+    """L[a, b] for the named 2-D table, flat-lane exact."""
+    n = 9 if name in ("len_small", "len_mid") else C.ESC_MAG + 1
+    R, Cc, D = _sep(name)
+    return (_lut_const(a, R) + _lut_const(b, Cc)
+            + _lut_sparse(a * n + b, D))
+
+
+def _roll1(v):
+    """v[j+1] at lane j (wraps; wrapped lanes are masked off by the
+    start-position band masks)."""
+    return pltpu.roll(v, shift=C.LONG_COEFFS - 1, axis=1)
+
+
+def _roll2(v):
+    return pltpu.roll(v, shift=C.LONG_COEFFS - 2, axis=1)
+
+
+def _quant_kernel(x_ref, amp_bin_ref, gains_ref, bt_ref, masks_ref,
+                  out_ref):
+    """x [BF,1024] f32, amp_bin [BF,1024] i32, gains [BF,G] i32,
+    bt [BF,1] i32, masks [5, 1024, NB_PAD] bf16 (per-bin band membership,
+    zero in padding cols); out [BF,G] i32 total payload bits.
 
     The gain loop is a fori with NO dynamic ref indexing: the current
     column is selected and the result accumulated via iota one-hots."""
@@ -85,7 +122,12 @@ def _quant_kernel(x_ref, amp_bin_ref, gains_ref, bt_ref,
     bt = bt_ref[:, 0]
     gains = gains_ref[:]                                   # [BF, G]
     g_count = gains.shape[1]
+    bf = x.shape[0]
     giota = jax.lax.broadcasted_iota(jnp.int32, (1, g_count), 1)
+    jiota = jax.lax.broadcasted_iota(jnp.int32, (bf, C.LONG_COEFFS), 1)
+    start2 = (jiota % 2 == 0).astype(jnp.float32)
+    start4 = (jiota % 4 == 0).astype(jnp.float32)
+    btcat = jnp.concatenate([bt_ref[:]] * 7, axis=0)       # [7BF, 1]
 
     def per_gain(gi, acc_out):
         g = jnp.sum(jnp.where(giota == gi, gains, 0), axis=1)   # [BF]
@@ -93,57 +135,55 @@ def _quant_kernel(x_ref, amp_bin_ref, gains_ref, bt_ref,
         step = jnp.exp2((e.astype(jnp.float32) - C.GAIN_BIAS) / 4.0)
         mag = jnp.minimum(jnp.floor((ax / step) ** 0.75 + C.QUANT_MAGIC),
                           float(C.QMAX)).astype(jnp.int32)  # [BF, 1024]
-        q = jnp.where(x < 0, -mag, mag)
 
-        bf = x.shape[0]
-        t4 = (jnp.clip(q, -1, 1) + 1).reshape(bf, 256, 4)
-        sym1 = (((t4[..., 0] * 3 + t4[..., 1]) * 3 + t4[..., 2]) * 3
-                + t4[..., 3])
-        t2 = (jnp.clip(q, -4, 4) + 4).reshape(bf, 512, 2)
-        sym2 = t2[..., 0] * 9 + t2[..., 1]
-        m2 = jnp.minimum(mag, C.ESC_MAG).reshape(bf, 512, 2)
+        # CB_SMALL: 4-tuples as two 9-way digits at lanes j%4==0
+        c = jnp.clip(mag, 0, 1)
+        c = jnp.where(x < 0, -c, c) + 1                     # trit + 1
+        cpair = c * 3 + _roll1(c)                           # digit at even j
+        bits1 = _pair_bits(cpair, _roll2(cpair), "len_small") * start4
 
-        bits1_t = _onehot_dot(sym1, small_ref[:], 81)      # [BF, 256]
-        bits2_t = _onehot_dot(sym2, mid_ref[:], 81)
-        mp = mag.reshape(bf, 512, 2)
-        e_esc = jnp.full(mp.shape, 4, jnp.int32)
+        # CB_MID: 9-way pairs at even lanes
+        c2 = jnp.clip(mag, 0, 4)
+        c2 = jnp.where(x < 0, -c2, c2) + 4
+        bits2 = _pair_bits(c2, _roll1(c2), "len_mid") * start2
+
+        # CB_ESC: clipped magnitude pairs at even lanes; sign and escape
+        # suffix bits are per-position and ride the per-bin mask directly
+        m0 = jnp.minimum(mag, C.ESC_MAG)
+        bits3 = _pair_bits(m0, _roll1(m0), "len_esc") * start2
+        e_esc = jnp.full(mag.shape, 4, jnp.int32)
         for k in range(5, 13):
-            e_esc = e_esc + (mp >= (1 << k)).astype(jnp.int32)
-        extra = (jnp.where(mp >= C.ESC_MAG, 2 * e_esc - 3, 0)
-                 + (mp > 0).astype(jnp.int32)).sum(axis=-1)  # [BF, 512]
-        bits3_t = (_esc_pair_dot(m2[..., 0], m2[..., 1], esc_ref[:])
-                   + extra.astype(jnp.float32))
+            e_esc = e_esc + (mag >= (1 << k)).astype(jnp.int32)
+        extra = (jnp.where(mag >= C.ESC_MAG, 2 * e_esc - 3, 0)
+                 + (mag > 0).astype(jnp.int32)).astype(jnp.float32)
 
-        n0_t = (mp > 0).sum(axis=-1).astype(jnp.float32)
-        n1_t = (mp > 1).sum(axis=-1).astype(jnp.float32)
-        n4_t = (mp > 4).sum(axis=-1).astype(jnp.float32)
+        n0 = (mag > 0).astype(jnp.float32)
+        n1 = (mag > 1).astype(jnp.float32)
+        n4 = (mag > 4).astype(jnp.float32)
 
-        # band reductions: 5 static mask matmuls, combined branchless
-        nb = mask2_ref.shape[-1]
-        acc = [jnp.zeros((bf, nb), jnp.float32) for _ in range(6)]
+        # one stacked bf16 matmul per block type reduces all 7 quantities
+        stacked = jnp.concatenate(
+            [bits1, bits2, bits3, extra, n0, n1, n4],
+            axis=0).astype(jnp.bfloat16)                    # [7BF, 1024]
+        acc = jnp.zeros((7 * bf, NB_PAD), jnp.float32)
         for t in range(C.N_BLOCK_TYPES):
-            sel = (bt == t).astype(jnp.float32)[:, None]
-            m2m = mask2_ref[t]
-            m4m = mask4_ref[t]
+            sel = (btcat == t).astype(jnp.float32)          # [7BF, 1]
+            acc = acc + sel * jax.lax.dot_general(
+                stacked, masks_ref[t],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        b1 = acc[0 * bf:1 * bf]
+        b2 = acc[1 * bf:2 * bf]
+        b3 = acc[2 * bf:3 * bf] + acc[3 * bf:4 * bf]
+        nb0 = acc[4 * bf:5 * bf]
+        nb1 = acc[5 * bf:6 * bf]
+        nb4 = acc[6 * bf:7 * bf]
 
-            def dot(v, m):
-                return jax.lax.dot_general(
-                    v.astype(jnp.float32), m,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            acc[0] = acc[0] + sel * dot(bits1_t, m4m)
-            acc[1] = acc[1] + sel * dot(bits2_t, m2m)
-            acc[2] = acc[2] + sel * dot(bits3_t, m2m)
-            acc[3] = acc[3] + sel * dot(n0_t, m2m)
-            acc[4] = acc[4] + sel * dot(n1_t, m2m)
-            acc[5] = acc[5] + sel * dot(n4_t, m2m)
-        b1, b2, b3, n0, n1, n4 = [a.astype(jnp.int32) for a in acc]
-
-        c1 = jnp.where(n1 == 0, b1, BIG)
-        c2 = jnp.where(n4 == 0, b2, BIG)
-        cost = jnp.minimum(jnp.minimum(c1, c2), b3)
-        cost = jnp.where(n0 == 0, 0, cost)
-        total = cost.sum(axis=-1).astype(jnp.int32)        # [BF]
+        c1 = jnp.where(nb1 == 0, b1, BIG)
+        c2c = jnp.where(nb4 == 0, b2, BIG)
+        cost = jnp.minimum(jnp.minimum(c1, c2c), b3)
+        cost = jnp.where(nb0 == 0, 0.0, cost)
+        total = cost.sum(axis=-1).astype(jnp.int32)         # [BF]
         return acc_out + total[:, None] * (giota == gi).astype(jnp.int32)
 
     out_ref[:] = jax.lax.fori_loop(
@@ -151,26 +191,25 @@ def _quant_kernel(x_ref, amp_bin_ref, gains_ref, bt_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _masks(fs: int):
+def _flat_masks(fs: int) -> np.ndarray:
+    """[5, 1024, NB_PAD] bf16 0/1: per-bin band membership per block type,
+    band axis zero-padded to a full lane tile."""
     lay = T.unified_layout(fs)
-    return (np.ascontiguousarray(lay["mask2"], np.float32),
-            np.ascontiguousarray(lay["mask4"], np.float32))
+    nb = lay["nb"]
+    m = np.zeros((C.N_BLOCK_TYPES, C.LONG_COEFFS, NB_PAD), np.float32)
+    for t in range(C.N_BLOCK_TYPES):
+        m[t, :, :nb] = np.asarray(lay["band_mask"][t], np.float32)
+    return m.astype(jnp.bfloat16)
 
 
 def payload_bits_for_gains(coeffs, amp, gains, bt, fs: int,
                            interpret: bool = False):
     """[F,1024] x [F,NB] x [F,G] x [F] -> payload bits [F,G] int32."""
-    ca = T.code_arrays()
-    lay = T.unified_layout(fs)
+    from .. import entropy
     nf, g = gains.shape
     assert nf % BLOCK_F == 0
-    bin_band = jnp.asarray(lay["bin_band"])[bt]
-    amp_bin = jnp.take_along_axis(amp.astype(jnp.int32), bin_band, axis=-1)
-    m2, m4 = _masks(fs)
-    nb = lay["nb"]
-
-    def tab(a):
-        return np.asarray(a, np.float32).reshape(-1, 1)
+    amp_bin = entropy.amp_to_bins(amp.astype(jnp.int32), bt, fs)
+    masks = _flat_masks(fs)
 
     out = pl.pallas_call(
         _quant_kernel,
@@ -181,20 +220,13 @@ def payload_bits_for_gains(coeffs, amp, gains, bt, fs: int,
             pl.BlockSpec((BLOCK_F, C.LONG_COEFFS), lambda i: (i, 0)),
             pl.BlockSpec((BLOCK_F, g), lambda i: (i, 0)),
             pl.BlockSpec((BLOCK_F, 1), lambda i: (i, 0)),
-            pl.BlockSpec((81, 1), lambda i: (0, 0)),
-            pl.BlockSpec((81, 1), lambda i: (0, 0)),
-            pl.BlockSpec((C.ESC_MAG + 1, C.ESC_MAG + 1), lambda i: (0, 0)),
-            pl.BlockSpec((C.N_BLOCK_TYPES, 512, nb), lambda i: (0, 0, 0)),
-            pl.BlockSpec((C.N_BLOCK_TYPES, 256, nb), lambda i: (0, 0, 0)),
+            pl.BlockSpec((C.N_BLOCK_TYPES, C.LONG_COEFFS, NB_PAD),
+                         lambda i: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((BLOCK_F, g), lambda i: (i, 0)),
         interpret=interpret,
     )(coeffs.astype(jnp.float32), amp_bin, gains.astype(jnp.int32),
-      bt.astype(jnp.int32).reshape(nf, 1),
-      tab(ca["len_small"]), tab(ca["len_mid"]),
-      np.asarray(ca["len_esc"], np.float32).reshape(C.ESC_MAG + 1,
-                                                    C.ESC_MAG + 1),
-      m2, m4)
+      bt.astype(jnp.int32).reshape(nf, 1), masks)
     return out
 
 
