@@ -89,9 +89,17 @@ def _analyze_chunk(audio_ext, fs, window_switching, full_psycho, window):
                 1.0 / 32768.0)
         r = audio_ext.shape[0]
         chunk_frames = audio_ext.shape[1] // C.HOP - 3
-        idx = (np.arange(C.LONG_SIZE)[None, :]
-               + C.HOP * np.arange(chunk_frames + 2)[:, None])
-        frames_ext = audio_ext[:, idx]                # [R, CHUNK+2, 2048]
+        # 50%-overlap framing WITHOUT a gather (TPU gathers measured ~10 ms
+        # per 1024-frame chunk): frame f = hop blocks [f, f+1] of the
+        # HOP-strided reshape, i.e. two lane-shifted views concatenated.
+        hops = audio_ext.reshape(r, chunk_frames + 3, C.HOP)
+        frames_ext = jnp.concatenate(
+            [hops[:, :-1, :], hops[:, 1:, :]], axis=-1)   # [R, CHUNK+2, 2048]
+        # materialization boundary: without it XLA fuses the framing concat
+        # into downstream reductions, whose accumulation order then varies
+        # with the surrounding graph — per-clip vs mega-batch paths drifted
+        # by 1 ulp and a quantizer floor flipped (tests/test_corpus_parallel)
+        frames_ext = jax.lax.optimization_barrier(frames_ext)
         tr_ext = dsp.detect_transients(
             frames_ext.reshape(-1, C.LONG_SIZE)).reshape(r, chunk_frames + 2)
         bt = _block_types_dev(tr_ext, window_switching)   # [R, CHUNK]

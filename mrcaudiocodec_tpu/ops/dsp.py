@@ -50,6 +50,13 @@ def frame_signal(x: np.ndarray) -> np.ndarray:
 
 
 def detect_transients(frames: jnp.ndarray) -> jnp.ndarray:
+    """[F, 2048] -> [F] bool; fixed-block execution (ops/blocking.py) so
+    the result is bit-identical for any batch shape."""
+    from .blocking import map_frame_blocks
+    return map_frame_blocks(_detect_transients_block, (frames,))
+
+
+def _detect_transients_block(frames: jnp.ndarray) -> jnp.ndarray:
     """[F, 2048] -> [F] bool (mirror of spec.dsp.detect_transients)."""
     from ..spec.dsp import ATTACK_ABS, ATTACK_EPS, ATTACK_RATIO, N_SUB
     fr = frames.astype(F32)
@@ -113,6 +120,16 @@ def _short_subblocks(frames: jnp.ndarray) -> jnp.ndarray:
 
 def analyze(frames: jnp.ndarray, bt: jnp.ndarray,
             window: str = "sine") -> jnp.ndarray:
+    """Batched MDCT: [F, 2048] + [F] -> [F, 1024]; fixed-block execution
+    so coefficients are bit-identical for any batch shape (the matmul
+    tiling — and with it f32 reduction order — varies with M otherwise)."""
+    from .blocking import map_frame_blocks
+    return map_frame_blocks(lambda f, b: _analyze_block(f, b, window),
+                            (frames, bt))
+
+
+def _analyze_block(frames: jnp.ndarray, bt: jnp.ndarray,
+                   window: str = "sine") -> jnp.ndarray:
     """Batched MDCT: [F, 2048] + [F] block types -> [F, 1024] coefficients.
 
     Both the long path (per-type composed window, 1024-point DCT-IV matmul)

@@ -132,8 +132,19 @@ def _quant_kernel(x_ref, amp_bin_ref, gains_ref, bt_ref, masks_ref,
     def per_gain(gi, acc_out):
         g = jnp.sum(jnp.where(giota == gi, gains, 0), axis=1)   # [BF]
         e = jnp.clip(g[:, None] - amp_bin_ref[:], C.GAIN_MIN, C.GAIN_MAX)
-        step = jnp.exp2((e.astype(jnp.float32) - C.GAIN_BIAS) / 4.0)
-        mag = jnp.minimum(jnp.floor((ax / step) ** 0.75 + C.QUANT_MAGIC),
+        # normative quantizer op order (spec/quantize.py): exact dyadic
+        # step, one divide, sqrt(a * sqrt(a)) — bit-identical to the spec
+        d = e - C.GAIN_BIAS
+        r = d & 3
+        frac = jnp.where(r == 0, jnp.float32(1.0),
+                         jnp.where(r == 1, jnp.float32(2.0 ** 0.25),
+                                   jnp.where(r == 2, jnp.float32(2.0 ** 0.5),
+                                             jnp.float32(2.0 ** 0.75))))
+        two_k = jax.lax.bitcast_convert_type(
+            ((d >> 2) + 127) << 23, jnp.float32)
+        a = ax / (frac * two_k)
+        p = jnp.sqrt(a * jnp.sqrt(a))
+        mag = jnp.minimum(jnp.floor(p + C.QUANT_MAGIC),
                           float(C.QMAX)).astype(jnp.int32)  # [BF, 1024]
 
         # CB_SMALL: 4-tuples as two 9-way digits at lanes j%4==0

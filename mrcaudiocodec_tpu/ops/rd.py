@@ -23,6 +23,8 @@ Memory layout is chosen for HBM economy (the real bottleneck on v5e):
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +38,17 @@ I32 = jnp.int32
 
 COARSE = np.arange(C.GAIN_MIN, C.GAIN_MAX + 1, C.GAIN_COARSE_STEP,
                    dtype=np.int32)
+
+
+def _use_pallas_quant() -> bool:
+    """Gate for the fused Pallas cost kernel inside the RD sweep.
+
+    Opt-in (MRC_PALLAS_QUANT=1) and TPU-only: on the CPU backend the
+    XLA path IS the conformance-pinned arithmetic. Both paths are
+    bit-identical (tests/test_pallas.py, scripts/tpu_kernel_probe.py),
+    so this only changes speed, never decisions."""
+    return (os.environ.get("MRC_PALLAS_QUANT") == "1"
+            and jax.default_backend() not in ("cpu",))
 
 
 def _e_bin_for(gains, amp_bin):
@@ -56,6 +69,16 @@ def _bits_for_gains(x, amp, gains, bt, fs, amp_bin=None):
     """
     if amp_bin is None:
         amp_bin = entropy.amp_to_bins(amp, bt, fs)
+    if _use_pallas_quant() and x.shape[0] % 32 == 0:
+        from .pallas import quant_kernel
+        tb = entropy._dev_tables(fs)
+        payload = quant_kernel.payload_bits_for_gains(
+            x, amp, gains, bt, fs)
+        width = entropy._select_by_bt(tb["width"], bt)
+        nreal = entropy.lut(tb["nreal"], bt)
+        sf = entropy.sf_delta_bits(amp, width)
+        fixed = C.BLOCK_TYPE_BITS + C.GAIN_BITS + C.CB_BITS * nreal
+        return payload + (fixed + sf)[:, None]
     e_bin = _e_bin_for(gains, amp_bin)
     q = quantize.quantize(x[:, None, :], e_bin)
     g = gains.shape[-1]
@@ -173,6 +196,17 @@ def refine_gain_search(x, amp, budget_content, prev_gain, bt, fs,
 
 
 def rd_batch(coeffs, allowed, budgets, bt, fs):
+    """Batched RD search; fixed-block execution (ops/blocking.py) so the
+    f32 noise sums — and with them every decision — are bit-identical for
+    any batch shape. Padding frames (budget 0, silence) converge in one
+    iteration and are dropped."""
+    from .blocking import map_frame_blocks
+    return map_frame_blocks(
+        lambda c, a, bu, b: _rd_batch_block(c, a, bu, b, fs),
+        (coeffs, allowed, budgets, bt))
+
+
+def _rd_batch_block(coeffs, allowed, budgets, bt, fs):
     """Batched RD search.
 
     coeffs [F, 1024] f32, allowed [F, NB] f32, budgets [F] int32, bt [F].

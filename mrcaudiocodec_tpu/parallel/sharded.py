@@ -70,9 +70,12 @@ def _shard_encode_body(xp, cfg, total_frames: int, axis: str = "seq"):
         # 16-bit sources ride the upload + halo exchange as int16 and are
         # converted on device (exact /32768 — tests/test_int16_path.py)
         ext = ext.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
-    idxs = (np.arange(C.LONG_SIZE)[None, :]
-            + C.HOP * np.arange(f_loc)[:, None])    # [F_loc, 2048]
-    frames = ext[:, idxs]                           # [B, F_loc, 2048]
+    # gather-free 50%-overlap framing (same trick as models/encoder):
+    # frame f = hop blocks [f, f+1] of the HOP-strided reshape
+    hops = ext.reshape(b_loc, f_loc + 1, C.HOP)
+    frames = jnp.concatenate([hops[:, :-1, :], hops[:, 1:, :]],
+                             axis=-1)               # [B, F_loc, 2048]
+    frames = jax.lax.optimization_barrier(frames)   # see models/encoder.py
     frames = frames.reshape(b_loc * f_loc, C.LONG_SIZE)
 
     # --- transient detect + boundary flag exchange

@@ -39,3 +39,25 @@ def test_quant_kernel_matches_xla():
                                            jnp.asarray(bt), 44100,
                                            interpret=True)
     np.testing.assert_array_equal(np.asarray(bits_ker), np.asarray(bits_ref))
+
+
+def test_quant_kernel_matches_xla_nonzero_amp():
+    """Outer-iteration shape: amplified scale factors + refine-window
+    gains. Exercises amp_to_bins interplay and the sf-delta term."""
+    from mrcaudiocodec_tpu.ops.pallas import quant_kernel
+    from mrcaudiocodec_tpu.ops import rd
+    from mrcaudiocodec_tpu import tables as T
+    fr, bt = _frames(nf=32, seed=3)
+    rng = np.random.default_rng(7)
+    coeffs = dsp.analyze(jnp.asarray(fr), jnp.asarray(bt))
+    nb = T.unified_layout(44100)["nb"]
+    amp = jnp.asarray(rng.integers(0, 12, (32, nb)).astype(np.int32))
+    gains = jnp.clip(jnp.asarray(
+        rng.integers(30, 70, (32, 4)).astype(np.int32)), C.GAIN_MIN,
+        C.GAIN_MAX)
+    bits_ref = rd._bits_for_gains(coeffs, amp, gains, jnp.asarray(bt),
+                                  44100)
+    bits_ker = quant_kernel.bits_for_gains(coeffs, amp, gains,
+                                           jnp.asarray(bt), 44100,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(bits_ker), np.asarray(bits_ref))
