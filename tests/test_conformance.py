@@ -73,12 +73,13 @@ def test_tpu_path_bit_exact(name, fs, channels, bitrate, kw):
     # The contract: identical rate decisions => identical bitstream. On the
     # CPU backend both engines' decision arithmetic is identical, so every
     # frame must match and the streams must be byte-equal. On the real TPU
-    # (MRC_TESTS_KEEP_TPU=1) f32 rate decisions may legitimately diverge on
-    # a few frames (BASELINE.md); there we demand >= 95% agreement and that
-    # the hardware-path number is visible in the failure message.
+    # (MRC_TESTS_KEEP_TPU=1) matmul-rounding differences can flip isolated
+    # quantizer boundaries; hardware agreement measured 543/544 frames
+    # across 5 configs (TPU_CONFORMANCE.json, v5e 2026-08), so demand
+    # >= 97% per config there.
     import os
     if os.environ.get("MRC_TESTS_KEEP_TPU"):
-        assert same / nf >= 0.95, f"{name}: only {same}/{nf} frames identical"
+        assert same / nf >= 0.97, f"{name}: only {same}/{nf} frames identical"
     else:
         assert same == nf, f"{name}: only {same}/{nf} frames identical"
         assert bs_spec == bs_tpu
