@@ -50,6 +50,51 @@ def available() -> bool:
     return _lib() is not None
 
 
+# ---------------------------------------------------------------------------
+# Strict-IEEE xmath CPU kernel (XLA FFI custom call) — see xmath_ffi.cpp
+# ---------------------------------------------------------------------------
+
+_XSRC = os.path.join(_DIR, "xmath_ffi.cpp")
+_XSO = os.path.join(_DIR, f"mrc_xmath_{sys.implementation.cache_tag}.so")
+
+
+def _build_xmath() -> str | None:
+    if (os.path.exists(_XSO)
+            and os.path.getmtime(_XSO) >= os.path.getmtime(_XSRC)):
+        return _XSO
+    import jax.ffi
+    inc = jax.ffi.include_dir()
+    # -ffp-contract=off is LOAD-BEARING: GCC contracts mul+add to FMA by
+    # default even without -ffast-math, which would break the bit-exact
+    # IEEE-sequence contract this kernel exists to uphold.
+    for cxx in ("g++", "c++", "clang++"):
+        for extra in (["-fopenmp"], []):
+            try:
+                subprocess.run(
+                    [cxx, "-O3", "-std=c++17", "-shared", "-fPIC",
+                     "-ffp-contract=off", f"-I{inc}", *extra,
+                     _XSRC, "-o", _XSO],
+                    check=True, capture_output=True, timeout=180)
+                return _XSO
+            except (FileNotFoundError, subprocess.CalledProcessError,
+                    subprocess.TimeoutExpired):
+                continue
+    return None
+
+
+@functools.lru_cache(maxsize=1)
+def xmath_ffi_registered() -> bool:
+    """Build + register the mrc_xmath CPU custom call. True if usable."""
+    so = _build_xmath()
+    if so is None:
+        return False
+    import jax.ffi
+    lib = ctypes.CDLL(so)
+    jax.ffi.register_ffi_target(
+        "mrc_xmath", jax.ffi.pycapsule(lib.MrcXmath), platform="cpu")
+    return True
+
+
 def _ptr(a, ty):
     return a.ctypes.data_as(ctypes.POINTER(ty))
 

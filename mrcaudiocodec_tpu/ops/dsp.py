@@ -109,6 +109,71 @@ def _unfold(u: jnp.ndarray) -> jnp.ndarray:
     ], axis=-1)
 
 
+_XMATH_MODE = {"dct_iv": 0, "mdct_windowed": 1, "imdct_windowed": 2}
+
+
+def _norm_chain(fn_name: str, out_last: int, *args) -> jnp.ndarray:
+    """Run a normative xmath chain, bit-identical to spec on EVERY backend.
+
+    * TPU (and other accelerators): the shared xmath sequence in jnp —
+      measured BITWISE equal to the NumPy spec on v5e hardware at every
+      production shape (scripts/tpu_xmath_probe.py): XLA:TPU and Mosaic
+      emit plain single-rounded IEEE mul/add for it
+      (scripts/tpu_fma_probe.py).
+    * CPU: XLA:CPU's LLVM backend fuses mul+add chains into FMAs at
+      instruction selection — even across selects, optimization_barriers,
+      bitcast round-trips and fpext/fptrunc pairs (measured; no flag
+      disables it, including --xla_allow_excess_precision=false) — which
+      breaks IEEE-sequence equality. The CPU engine therefore runs the
+      identical op DAG natively (native/xmath_ffi.cpp, built with
+      -ffp-contract=off) as an XLA custom call: bit-identical to the
+      NumPy spec, and — unlike a pure_callback — shardable (no host
+      Python in the executable; callbacks deadlocked under shard_map).
+    """
+    from .. import xmath
+    if jax.default_backend() == "cpu":
+        from .. import native
+        if native.xmath_ffi_registered():
+            mode = _XMATH_MODE[fn_name]
+            x = args[0]
+            w = args[1] if len(args) > 1 else x    # mode 0: win unused
+            m = x.shape[-1] // 2 if mode == 1 else x.shape[-1]
+            out_shape = x.shape[:-1] + (out_last,)
+            call = jax.ffi.ffi_call(
+                "mrc_xmath",
+                jax.ShapeDtypeStruct(out_shape, jnp.float32),
+                vmap_method="broadcast_all")
+            return call(x.astype(F32), w.astype(F32),
+                        jnp.asarray(xmath.ffi_table(m)), mode=mode)
+        # toolchain-less fallback: normative NumPy verbatim. NOT shardable
+        # (host callback) — native builds wherever g++/clang++ exists.
+        fn = getattr(xmath, fn_name)
+        out_shape = args[0].shape[:-1] + (out_last,)
+        return jax.pure_callback(
+            lambda *a: fn(*[np.asarray(v) for v in a], np),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32), *args,
+            vmap_method="sequential")
+    return getattr(xmath, fn_name)(*args, jnp)
+
+
+def dct_iv_dev(u: jnp.ndarray) -> jnp.ndarray:
+    """Backend-dispatched normative DCT-IV (see _norm_chain)."""
+    return _norm_chain("dct_iv", u.shape[-1], u)
+
+
+def mdct_windowed_dev(fr: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Backend-dispatched window+fold+DCT-IV chain (see _norm_chain)."""
+    return _norm_chain("mdct_windowed", fr.shape[-1] // 2,
+                       fr, jnp.broadcast_to(w, fr.shape))
+
+
+def imdct_windowed_dev(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Backend-dispatched DCT-IV+unfold+window chain (see _norm_chain)."""
+    out = _norm_chain("imdct_windowed", x.shape[-1] * 2, x,
+                      jnp.broadcast_to(w, x.shape[:-1] + (x.shape[-1] * 2,)))
+    return out
+
+
 def _short_subblocks(frames: jnp.ndarray) -> jnp.ndarray:
     """[F, 2048] -> [F, 8, 256] the EIGHT_SHORT sub-block views."""
     off = C.SHORT_OFFSET
@@ -140,12 +205,15 @@ def _analyze_block(frames: jnp.ndarray, bt: jnp.ndarray,
     """
     cst = _consts(window)
     fr = frames.astype(F32)
-    # long-family
+    # long-family: the whole window+fold+DCT-IV chain is one normative
+    # xmath sequence — bit-identical to spec.dsp on every backend
     w = jnp.asarray(cst["long_windows"])[bt]         # [F, 2048] gather
-    xl = _fold(fr * w) @ jnp.asarray(cst["dct4_long"]).T
+    xl = mdct_windowed_dev(fr, w)
     # short
-    subs = _short_subblocks(fr) * jnp.asarray(cst["short_window"])[None, None, :]
-    xs = (_fold(subs) @ jnp.asarray(cst["dct4_short"]).T).reshape(fr.shape[0], -1)
+    xs = mdct_windowed_dev(
+        _short_subblocks(fr),
+        jnp.asarray(cst["short_window"])[None, None, :]).reshape(
+            fr.shape[0], -1)
     return jnp.where((bt == C.SHORT)[:, None], xs, xl)
 
 
@@ -154,12 +222,13 @@ def synthesize(coeffs: jnp.ndarray, bt: jnp.ndarray,
     """Batched IMDCT+window: [F, 1024] -> [F, 2048] frames ready for OLA."""
     cst = _consts(window)
     x = coeffs.astype(F32)
-    # long-family
+    # long-family (DCT-IV is involutive: same normative xmath sequence)
     w = jnp.asarray(cst["long_windows"])[bt]
-    vl = _unfold(x @ jnp.asarray(cst["dct4_long"])) * w
+    vl = imdct_windowed_dev(x, w)
     # short
     us = x.reshape(x.shape[0], C.N_SHORT, C.SHORT_COEFFS)
-    subs = _unfold(us @ jnp.asarray(cst["dct4_short"])) * jnp.asarray(cst["short_window"])[None, None, :]
+    subs = imdct_windowed_dev(
+        us, jnp.asarray(cst["short_window"])[None, None, :])
     off = C.SHORT_OFFSET
     vs = jnp.zeros_like(vl)
     for g in range(C.N_SHORT):

@@ -179,10 +179,16 @@ def _quant_kernel(x_ref, amp_bin_ref, gains_ref, bt_ref, masks_ref,
         acc = jnp.zeros((7 * bf, NB_PAD), jnp.float32)
         for t in range(C.N_BLOCK_TYPES):
             sel = (btcat == t).astype(jnp.float32)          # [7BF, 1]
+            # precision pinned to DEFAULT: the surrounding pipeline sets
+            # default_matmul_precision("highest"), which Mosaic rejects
+            # for bf16 operands ("Bad lhs type"). DEFAULT is exact here —
+            # both operands are integer-valued bf16 (products <= 2^8,
+            # band sums < 2^24) accumulated in f32.
             acc = acc + sel * jax.lax.dot_general(
                 stacked, masks_ref[t],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
         b1 = acc[0 * bf:1 * bf]
         b2 = acc[1 * bf:2 * bf]
         b3 = acc[2 * bf:3 * bf] + acc[3 * bf:4 * bf]

@@ -40,15 +40,23 @@ COARSE = np.arange(C.GAIN_MIN, C.GAIN_MAX + 1, C.GAIN_COARSE_STEP,
                    dtype=np.int32)
 
 
-def _use_pallas_quant() -> bool:
+def _use_pallas_quant(g: int) -> bool:
     """Gate for the fused Pallas cost kernel inside the RD sweep.
 
-    Opt-in (MRC_PALLAS_QUANT=1) and TPU-only: on the CPU backend the
-    XLA path IS the conformance-pinned arithmetic. Both paths are
-    bit-identical (tests/test_pallas.py, scripts/tpu_kernel_probe.py),
-    so this only changes speed, never decisions."""
-    return (os.environ.get("MRC_PALLAS_QUANT") == "1"
-            and jax.default_backend() not in ("cpu",))
+    Default ON for TPU backends at the coarse-sweep width (G >= 16),
+    where the kernel's single-VMEM-residency cost sweep beats the fused
+    XLA path; at the small refine widths (G <= 8) the XLA path fuses
+    into the surrounding loop and wins, so those stay XLA. Bit-exactness
+    is NOT at stake in this choice: both paths are verified bit-identical
+    on hardware at every production shape — G=1/4/8/32, NF up to 1024,
+    random amps — by scripts/tpu_quant_prod.py + tpu_quant_g32.py, and
+    full encodes are byte-identical either way. Set MRC_PALLAS_QUANT=0
+    to force XLA everywhere, =1 to force the kernel at every width.
+    CPU always uses XLA (the kernel targets Mosaic)."""
+    flag = os.environ.get("MRC_PALLAS_QUANT", "")
+    if flag == "0" or jax.default_backend() in ("cpu",):
+        return False
+    return flag == "1" or g >= 16
 
 
 def _e_bin_for(gains, amp_bin):
@@ -69,7 +77,7 @@ def _bits_for_gains(x, amp, gains, bt, fs, amp_bin=None):
     """
     if amp_bin is None:
         amp_bin = entropy.amp_to_bins(amp, bt, fs)
-    if _use_pallas_quant() and x.shape[0] % 32 == 0:
+    if _use_pallas_quant(gains.shape[-1]) and x.shape[0] % 32 == 0:
         from .pallas import quant_kernel
         tb = entropy._dev_tables(fs)
         payload = quant_kernel.payload_bits_for_gains(

@@ -123,17 +123,24 @@ def _unfold(u: np.ndarray) -> np.ndarray:
 
 
 def mdct(v: np.ndarray) -> np.ndarray:
-    """Windowed block [..., 2M] -> MDCT coefficients [..., M] (float32)."""
-    m = v.shape[-1] // 2
-    basis = T.dct_iv_matrix(m).astype(F32)
-    return _fold(np.asarray(v, dtype=F32)) @ basis.T
+    """Windowed block [..., 2M] -> MDCT coefficients [..., M] (float32).
+
+    NORMATIVE arithmetic: TDAC fold (f32 adds) then the fixed-sequence
+    fast DCT-IV of xmath.dct_iv — bit-identical across NumPy and every
+    XLA backend by construction (see mrcaudiocodec_tpu/xmath.py; the
+    former GEMM formulation leaked backend-private reduction orders into
+    the quantizer's floor)."""
+    from .. import xmath
+    return xmath.dct_iv(_fold(np.asarray(v, dtype=F32)), np)
 
 
 def imdct(x: np.ndarray) -> np.ndarray:
-    """MDCT coefficients [..., M] -> time block [..., 2M] (pre-window)."""
-    m = x.shape[-1]
-    basis = T.dct_iv_matrix(m).astype(F32)
-    return _unfold(np.asarray(x, dtype=F32) @ basis)
+    """MDCT coefficients [..., M] -> time block [..., 2M] (pre-window).
+
+    DCT-IV is involutive (orthonormal, symmetric), so the inverse reuses
+    the same normative xmath.dct_iv sequence followed by the unfold."""
+    from .. import xmath
+    return _unfold(xmath.dct_iv(np.asarray(x, dtype=F32), np))
 
 
 def analyze_frame(frame: np.ndarray, block_type: int, window: str = "sine") -> np.ndarray:

@@ -100,3 +100,59 @@ def test_transient_detector_fires_on_attack():
     t = np.arange(8192) / 44100
     x2 = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
     assert not dsp.detect_transients(dsp.frame_signal(x2))[2:].any()
+
+
+# ---------------------------------------------------------------------------
+# xmath cross-backend bit-exactness (the determinism core)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("m", [128, 1024])
+def test_dct_iv_numpy_vs_engine_bitwise(m):
+    """ops.dsp.dct_iv_dev is BIT-identical to the NumPy xmath sequence —
+    the property the spec<->engine byte-equality contract now rests on.
+    On CPU this exercises the pure_callback route (XLA:CPU contracts
+    mul+add to FMA and cannot run the sequence faithfully); on TPU it
+    exercises the jnp xmath path (measured contraction-free)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrcaudiocodec_tpu import xmath
+    from mrcaudiocodec_tpu.ops import dsp as jdsp
+
+    rng = np.random.default_rng(3)
+    for shape in [(9, m), (4, 8, m)] if m == 128 else [(9, m)]:
+        u = (0.6 * rng.standard_normal(shape)).astype(np.float32)
+        a = xmath.dct_iv(u, np)
+        b = np.asarray(jax.jit(jdsp.dct_iv_dev)(jnp.asarray(u)))
+        assert (a.view(np.uint32) == b.view(np.uint32)).all()
+
+
+@pytest.mark.parametrize("m", [128, 1024])
+def test_dct_iv_matches_matrix(m):
+    """xmath.dct_iv equals the orthonormal DCT-IV matrix to f32 accuracy."""
+    from mrcaudiocodec_tpu import tables as T
+    from mrcaudiocodec_tpu import xmath
+
+    rng = np.random.default_rng(4)
+    u = (0.6 * rng.standard_normal((5, m))).astype(np.float32)
+    ref = (u.astype(np.float64) @ T.dct_iv_matrix(m).T)
+    got = xmath.dct_iv(u, np)
+    np.testing.assert_allclose(got, ref, atol=3e-6 * np.abs(ref).max())
+
+
+def test_analyze_spec_vs_engine_bitwise():
+    """Whole-filterbank bit equality: spec.analyze_frame vs ops.dsp.analyze
+    coefficients match BITWISE for every block type (fold, window multiply
+    and DCT-IV all pinned single-IEEE-op sequences)."""
+    import jax.numpy as jnp
+
+    from mrcaudiocodec_tpu.ops import dsp as jdsp
+
+    rng = np.random.default_rng(5)
+    frames = (0.5 * rng.standard_normal((130, C.LONG_SIZE))).astype(np.float32)
+    bt = np.resize(np.arange(5, dtype=np.int32), 130)
+    ref = np.stack([dsp.analyze_frame(frames[f], int(bt[f]))
+                    for f in range(len(bt))])
+    got = np.asarray(jdsp.analyze(jnp.asarray(frames), jnp.asarray(bt)))
+    assert (ref.view(np.uint32) == got.view(np.uint32)).all()
