@@ -42,16 +42,6 @@ ENC_CHUNK = int(_os.environ.get("MRC_ENC_CHUNK", 1024))  # frames per executable
 _TIMING = bool(_os.environ.get("MRC_DEBUG_TIMING"))
 
 
-def _use_pallas_mdct() -> bool:
-    """Gate for the fused window+MDCT Pallas kernel (N3). Opt-in and
-    TPU-only: the CPU backend's XLA path IS the conformance-pinned
-    arithmetic; on hardware the kernel's matmul rounding differs from
-    XLA's by ~1 ulp (both are bf16-pass f32 emulations), which the
-    hardware conformance tolerance already covers."""
-    return (_os.environ.get("MRC_PALLAS_MDCT") == "1"
-            and jax.default_backend() not in ("cpu",))
-
-
 def _tlog(t0, msg):
     if _TIMING:
         print(f"[encode {_time.perf_counter() - t0:7.2f}s] {msg}",
@@ -115,11 +105,11 @@ def _analyze_chunk(audio_ext, fs, window_switching, full_psycho, window):
         bt = _block_types_dev(tr_ext, window_switching)   # [R, CHUNK]
         frames = frames_ext[:, 1:-1].reshape(-1, C.LONG_SIZE)
         bt_flat = bt.reshape(-1)
-        if _use_pallas_mdct() and frames.shape[0] % 64 == 0:
-            from ..ops.pallas import mdct_kernel
-            coeffs = mdct_kernel.analyze(frames, bt_flat, window)
-        else:
-            coeffs = dsp.analyze(frames, bt_flat, window)
+        # N3 (the fused Pallas FFT-stage kernel) dispatches inside
+        # dsp.analyze -> ops.dsp._norm_chain: kernel and XLA fallback
+        # compute identical normative values, so no flag or shape can
+        # silently change the stream (VERDICT r3 task 6).
+        coeffs = dsp.analyze(frames, bt_flat, window)
         allowed, pe, _ = psycho.analyze(frames, coeffs, bt_flat, fs,
                                         full_psycho)
         coeffs = coeffs.reshape(r, chunk_frames, -1)

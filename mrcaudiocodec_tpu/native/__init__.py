@@ -22,12 +22,14 @@ _SO = os.path.join(_DIR, f"mrc_native_{sys.implementation.cache_tag}.so")
 def _build() -> str | None:
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
+    tmp = f"{_SO}.tmp.{os.getpid()}"   # atomic publish; see _build_xmath
     for cxx in ("g++", "c++", "clang++"):
         try:
             subprocess.run(
                 [cxx, "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
-                 _SRC, "-o", _SO],
+                 _SRC, "-o", tmp],
                 check=True, capture_output=True, timeout=120)
+            os.replace(tmp, _SO)
             return _SO
         except (FileNotFoundError, subprocess.CalledProcessError,
                 subprocess.TimeoutExpired):
@@ -67,14 +69,19 @@ def _build_xmath() -> str | None:
     # -ffp-contract=off is LOAD-BEARING: GCC contracts mul+add to FMA by
     # default even without -ffast-math, which would break the bit-exact
     # IEEE-sequence contract this kernel exists to uphold.
+    # compile to a private temp path and os.replace() into place: several
+    # processes (multi-host launch, pytest-xdist) may race to build, and a
+    # reader must never CDLL a half-written .so (ADVICE r3 #4)
+    tmp = f"{_XSO}.tmp.{os.getpid()}"
     for cxx in ("g++", "c++", "clang++"):
         for extra in (["-fopenmp"], []):
             try:
                 subprocess.run(
                     [cxx, "-O3", "-std=c++17", "-shared", "-fPIC",
                      "-ffp-contract=off", f"-I{inc}", *extra,
-                     _XSRC, "-o", _XSO],
+                     _XSRC, "-o", tmp],
                     check=True, capture_output=True, timeout=180)
+                os.replace(tmp, _XSO)
                 return _XSO
             except (FileNotFoundError, subprocess.CalledProcessError,
                     subprocess.TimeoutExpired):

@@ -115,11 +115,17 @@ _XMATH_MODE = {"dct_iv": 0, "mdct_windowed": 1, "imdct_windowed": 2}
 def _norm_chain(fn_name: str, out_last: int, *args) -> jnp.ndarray:
     """Run a normative xmath chain, bit-identical to spec on EVERY backend.
 
-    * TPU (and other accelerators): the shared xmath sequence in jnp —
-      measured BITWISE equal to the NumPy spec on v5e hardware at every
-      production shape (scripts/tpu_xmath_probe.py): XLA:TPU and Mosaic
-      emit plain single-rounded IEEE mul/add for it
-      (scripts/tpu_fma_probe.py).
+    * TPU: the shared xmath arithmetic in jnp, evaluated in ROLL FORM
+      (xmath.dct_iv_fast) — the same butterfly graph as the spec's
+      Stockham chain (bit-identical values, asserted in NumPy by
+      tests/test_mdct.py), stored constant-shape so every stage keeps a
+      512-lane minor dim. The naive Stockham storage schedule shrinks
+      the minor dim 512 -> 2 and cost ~500 s of remote Mosaic/XLA
+      compile per process + 150 ms steady state on the v5e; the roll
+      form removes both. XLA:TPU emits plain single-rounded IEEE
+      mul/add for these chains (scripts/tpu_fma_probe.py), so the jnp
+      instantiation is BITWISE equal to the NumPy spec on hardware
+      (scripts/tpu_xmath_probe.py).
     * CPU: XLA:CPU's LLVM backend fuses mul+add chains into FMAs at
       instruction selection — even across selects, optimization_barriers,
       bitcast round-trips and fpext/fptrunc pairs (measured; no flag
@@ -129,11 +135,16 @@ def _norm_chain(fn_name: str, out_last: int, *args) -> jnp.ndarray:
       -ffp-contract=off) as an XLA custom call: bit-identical to the
       NumPy spec, and — unlike a pure_callback — shardable (no host
       Python in the executable; callbacks deadlocked under shard_map).
+    * Anything else (e.g. GPU, whose LLVM backend contracts FMAs by
+      default): the no-contraction property was only ever measured on
+      XLA:TPU, so unknown backends take the CPU route (FFI if built,
+      normative-NumPy callback otherwise) rather than silently trusting
+      jnp lowering.
     """
     from .. import xmath
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() != "tpu":
         from .. import native
-        if native.xmath_ffi_registered():
+        if jax.default_backend() == "cpu" and native.xmath_ffi_registered():
             mode = _XMATH_MODE[fn_name]
             x = args[0]
             w = args[1] if len(args) > 1 else x    # mode 0: win unused
@@ -153,7 +164,27 @@ def _norm_chain(fn_name: str, out_last: int, *args) -> jnp.ndarray:
             lambda *a: fn(*[np.asarray(v) for v in a], np),
             jax.ShapeDtypeStruct(out_shape, jnp.float32), *args,
             vmap_method="sequential")
-    return getattr(xmath, fn_name)(*args, jnp)
+    return getattr(xmath, fn_name + "_fast")(*args, jnp, fft=_tpu_fft())
+
+
+def _tpu_fft():
+    """FFT-stage implementation for the TPU fast path: the fused Pallas
+    kernel (default), or None (pure-XLA roll form) when disabled via
+    MRC_PALLAS_MDCT=0. Both compute the identical normative values; the
+    kernel keeps all butterfly stages in VMEM. Non-production shapes
+    return None from fft_natural and fall back to the XLA roll form —
+    same values, so no flag or shape can change the stream."""
+    import os
+    if os.environ.get("MRC_PALLAS_MDCT", "1") == "0":
+        return None
+    from .. import xmath
+    from .pallas import xmath_kernel
+
+    def fft(zr, zi):
+        out = xmath_kernel.fft_natural(zr, zi)
+        return out if out is not None else xmath.fft_dif(zr, zi, jnp)
+
+    return fft
 
 
 def dct_iv_dev(u: jnp.ndarray) -> jnp.ndarray:

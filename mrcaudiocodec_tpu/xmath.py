@@ -186,6 +186,149 @@ def unfold(u, xp):
     ], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Layout-friendly "roll form" of the SAME normative arithmetic
+# ---------------------------------------------------------------------------
+#
+# fft_stockham above keeps the live array as [..., G, m] with the minor
+# dim m shrinking 512 -> 2 across stages. On TPU that is catastrophic:
+# XLA pads the minor dim to 128 lanes, so the late stages allocate up to
+# 64x-padded buffers and relayout between every stage — measured ~500 s
+# of remote compile per process and +150 ms steady-state on the v5e.
+#
+# The functions below compute BIT-IDENTICAL values through a different
+# storage schedule: the classic in-place radix-2 DIF FFT, which performs
+# exactly the same butterflies ((a+b) and (a-b)*w with the same operand
+# values and the same stage twiddle tables — only WHERE intermediates
+# are stored differs), on a constant-shape [..., n] array. Each stage is
+# two circular lane rotations + a masked select, and the classic
+# variant's bit-reversed output order is undone by a reshape/transpose
+# (pure data movement, exact for every value including signed zeros).
+# tests/test_mdct.py asserts fast == reference BITWISE in NumPy; the
+# TPU engine's use of the jnp instantiation is asserted bitwise against
+# the spec on hardware (scripts/tpu_xmath_probe.py).
+
+
+@functools.lru_cache(maxsize=None)
+def _dif_tables(n: int):
+    """Per-stage (mask, tw_re, tw_im, half) for the roll-form DIF FFT.
+
+    Stage with block size m (m = n, n/2, ..., 2): position p belongs to
+    block-local index l = p % m; l < m/2 computes a sum, l >= m/2 a
+    twiddled difference with w[l - m/2] — the SAME f32 twiddle values as
+    _fft_stages (top positions get 1+0i, discarded by the mask select).
+    """
+    out = []
+    m = n
+    for w_re, w_im in _fft_stages(n):
+        half = m // 2
+        reps = n // m
+        mask = (np.arange(n) % m) < half
+        twr = np.tile(np.concatenate([np.ones(half, F32), w_re]), reps)
+        twi = np.tile(np.concatenate([np.zeros(half, F32), w_im]), reps)
+        out.append((mask, twr.astype(F32), twi.astype(F32), half))
+        m //= 2
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _dif_tables_grouped(lanes: int, fft_size: int):
+    """_dif_tables for `lanes // fft_size` independent size-`fft_size`
+    FFTs laid side by side on one `lanes`-wide axis (the short-block
+    path runs its 8 sub-FFTs this way). Masks/twiddles tile exactly, and
+    every butterfly's partner stays inside its own group (local index
+    l < m/2 pairs with l + m/2 < m <= fft_size), so the shared
+    lane-rotations of fft_dif_stages never mix groups at used positions.
+    """
+    groups = lanes // fft_size
+    assert groups * fft_size == lanes
+    out = []
+    for mask, twr, twi, half in _dif_tables(fft_size):
+        out.append((np.tile(mask, groups), np.tile(twr, groups),
+                    np.tile(twi, groups), half))
+    return tuple(out)
+
+
+def _bitrev(x, xp):
+    """Bit-reversal permutation along the last axis (size 2^k) as a
+    reshape/transpose — exact data movement, no gather."""
+    n = x.shape[-1]
+    lg = n.bit_length() - 1
+    lead = x.shape[:-1]
+    nl = len(lead)
+    y = x.reshape(lead + (2,) * lg)
+    axes = tuple(range(nl)) + tuple(range(nl + lg - 1, nl - 1, -1))
+    return xp.transpose(y, axes).reshape(lead + (n,))
+
+
+def fft_dif_stages(re, im, xp, roll=None, tables=None):
+    """The classic-DIF butterfly stages WITHOUT the final bit-reversal:
+    output position p holds the natural-order FFT value at bitrev(p).
+
+    Values are bit-identical to fft_stockham (same ops on the same
+    operands); the array keeps its [..., n] shape at every stage. Rolls
+    are circular; wrapped lanes land only where the mask discards them.
+    `roll(v, s)` may be overridden (Pallas kernels pass pltpu.roll);
+    `tables` may be overridden with _dif_tables_grouped for a lane axis
+    holding several independent smaller FFTs side by side.
+    """
+    n = re.shape[-1]
+    if roll is None:
+        roll = lambda v, s: xp.roll(v, s, axis=-1)
+    for mask, twr, twi, half in (tables or _dif_tables(n)):
+        mask_b = xp.asarray(mask)
+        rm_re, rm_im = roll(re, -half), roll(im, -half)
+        rp_re, rp_im = roll(re, half), roll(im, half)
+        top_re = re + rm_re
+        top_im = im + rm_im
+        d_re = rp_re - re
+        d_im = rp_im - im
+        bot_re, bot_im = _cmul(d_re, d_im, xp.asarray(twr), xp.asarray(twi),
+                               xp)
+        re = xp.where(mask_b, top_re, bot_re)
+        im = xp.where(mask_b, top_im, bot_im)
+    return re, im
+
+
+def fft_dif(re, im, xp, roll=None):
+    """Classic-DIF instantiation of fft_stockham's butterfly graph,
+    natural output order (bit-reversal undone by pure data movement)."""
+    re, im = fft_dif_stages(re, im, xp, roll)
+    return _bitrev(re, xp), _bitrev(im, xp)
+
+
+def dct_iv_fast(u, xp, roll=None, fft=None):
+    """dct_iv with the FFT evaluated in roll form: bit-identical outputs,
+    TPU-friendly layouts (every intermediate keeps a large minor dim).
+    `fft(z_re, z_im) -> (a_re, a_im)` (natural order) may be overridden
+    with a fused Pallas implementation of the same butterfly graph."""
+    m_size = u.shape[-1]
+    cst = _dct4_tables(m_size)
+    ue = u[..., 0::2]
+    uo = u[..., ::-1][..., 0::2]
+    z_re, z_im = _cmul(ue, uo, xp.asarray(cst["pre_re"]),
+                       xp.asarray(cst["pre_im"]), xp)
+    if fft is None:
+        a_re, a_im = fft_dif(z_re, z_im, xp, roll)
+    else:
+        a_re, a_im = fft(z_re, z_im)
+    b_re, b_im = _cmul(a_re, a_im, xp.asarray(cst["post_re"]),
+                       xp.asarray(cst["post_im"]), xp)
+    neg_rev = (-b_im)[..., ::-1]
+    out = xp.stack([b_re, neg_rev], axis=-1).reshape(u.shape)
+    return out * cst["scale"]
+
+
+def mdct_windowed_fast(fr, w, xp, roll=None, fft=None):
+    """mdct_windowed evaluated through dct_iv_fast (bit-identical)."""
+    return dct_iv_fast(fold(fr * w, xp), xp, roll, fft)
+
+
+def imdct_windowed_fast(x, w, xp, roll=None, fft=None):
+    """imdct_windowed evaluated through dct_iv_fast (bit-identical)."""
+    return unfold(dct_iv_fast(x, xp, roll, fft), xp) * w
+
+
 def mdct_windowed(fr, w, xp):
     """The full normative analysis arithmetic for one window family:
     window multiply -> TDAC fold -> DCT-IV, every float op a pinned

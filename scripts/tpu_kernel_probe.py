@@ -44,25 +44,40 @@ def main():
     fs = 44100
 
     if what in ("mdct", "all"):
-        print("== MDCT ==", flush=True)
+        print("== MDCT (normative xmath: Pallas kernel vs XLA roll form "
+              "vs NumPy spec) ==", flush=True)
+        import os
+        from mrcaudiocodec_tpu import xmath
+        # XLA roll form (MRC_PALLAS_MDCT=0 path)
+        os.environ["MRC_PALLAS_MDCT"] = "0"
         ref_fn = jax.jit(lambda f, b: dsp.analyze(f, b))
+        out_x = ref_fn(fr, bt)
+        sync(out_x)
         t_ref = bench(lambda: ref_fn(fr, bt))
-        print(f"XLA analyze[{nf}]: {t_ref*1e3:.2f} ms", flush=True)
+        print(f"XLA roll-form analyze[{nf}]: {t_ref*1e3:.2f} ms", flush=True)
         try:
-            from mrcaudiocodec_tpu.ops.pallas import mdct_kernel
-            k_fn = jax.jit(lambda f, b: mdct_kernel.mdct_long(f, b))
-            out = k_fn(fr, bt)
-            sync(out)
+            # fused Pallas FFT-stage kernel (default path)
+            os.environ["MRC_PALLAS_MDCT"] = "1"
+            k_fn = jax.jit(lambda f, b: dsp.analyze(f, b))
+            out_k = k_fn(fr, bt)
+            sync(out_k)
             t_k = bench(lambda: k_fn(fr, bt))
-            print(f"Pallas mdct_long[{nf}]: {t_k*1e3:.2f} ms", flush=True)
-            # correctness on long frames only (bt != SHORT rows)
-            ref = np.asarray(dsp.analyze(fr, bt))
-            got = np.asarray(out)
-            mask = np.asarray(bt) != C.SHORT
-            err = np.abs(got[mask] - ref[mask]).max()
-            print(f"max |err| long rows: {err:.2e}", flush=True)
+            print(f"Pallas analyze[{nf}]: {t_k*1e3:.2f} ms", flush=True)
+            same = (np.asarray(out_k).view(np.uint32)
+                    == np.asarray(out_x).view(np.uint32)).all()
+            print("Pallas == XLA bitwise:", bool(same), flush=True)
+            from mrcaudiocodec_tpu.spec import dsp as sdsp
+            ref = np.stack([
+                sdsp.analyze_frame(np.asarray(fr)[f], int(np.asarray(bt)[f]))
+                for f in range(64)])
+            same_np = (ref.view(np.uint32)
+                       == np.asarray(out_k)[:64].view(np.uint32)).all()
+            print("Pallas == NumPy spec bitwise [64]:", bool(same_np),
+                  flush=True)
         except Exception as e:
             print("MDCT kernel FAILED:", repr(e)[:500], flush=True)
+        finally:
+            os.environ.pop("MRC_PALLAS_MDCT", None)
 
     if what in ("quant", "all"):
         print("== QUANT ==", flush=True)

@@ -48,18 +48,6 @@ def main():
     f_mdct = jax.jit(lambda f, b: dsp.analyze(f, b))
     stages["mdct_xla"] = bench(lambda: f_mdct(fr, bt))
 
-    try:
-        from mrcaudiocodec_tpu.ops.pallas import mdct_kernel
-        f_mk = jax.jit(lambda f, b: mdct_kernel.analyze(f, b))
-        out = f_mk(fr, bt)
-        sync(out)
-        stages["mdct_pallas_fused"] = bench(lambda: f_mk(fr, bt))
-        ref = np.asarray(f_mdct(fr, bt))
-        err = np.abs(np.asarray(out) - ref).max()
-        print(f"fused analyze kernel max|err| vs XLA: {err:.2e}", flush=True)
-    except Exception as e:
-        print("fused analyze kernel FAIL:", repr(e)[:300], flush=True)
-
     f_fftl = jax.jit(lambda f: _power(jnp.fft.rfft(f * cl["hann"]),
                                       C.LONG_COEFFS))
     stages["fft_long"] = bench(lambda: f_fftl(fr))

@@ -39,39 +39,40 @@ def main():
     rng = np.random.default_rng(11)
     ok = True
 
-    # 1. dct_iv at the two production sizes, several batch shapes
+    # 1. roll-form dct_iv (the TPU production path) at the two production
+    # sizes, several batch shapes, vs the normative NumPy Stockham chain
     for m, shapes in [(1024, [(1, 1024), (37, 1024), (1024, 1024)]),
                       (128, [(5, 8, 128), (128, 8, 128)])]:
         for shape in shapes:
             u = (0.6 * rng.standard_normal(shape)).astype(np.float32)
             ref = xmath.dct_iv(u, np)
-            got = jax.jit(lambda v: xmath.dct_iv(v, jnp))(u)
-            ok &= bitcmp(f"dct_iv m={m} shape={shape}", ref, got)
+            got = jax.jit(lambda v: xmath.dct_iv_fast(v, jnp))(u)
+            ok &= bitcmp(f"dct_iv_fast m={m} shape={shape}", ref, got)
 
-    # 2. full windowed chains (the exact normative sequences)
+    # 2. full windowed chains (the exact normative sequences, roll form)
     from mrcaudiocodec_tpu import tables as T
     w_long = T.long_windows("sine")[C.LONG].astype(np.float32)
     w_short = T.short_window("sine").astype(np.float32)
     fr = (0.5 * rng.standard_normal((129, C.LONG_SIZE))).astype(np.float32)
     ref = xmath.mdct_windowed(fr, w_long[None, :], np)
-    got = jax.jit(lambda v: xmath.mdct_windowed(
+    got = jax.jit(lambda v: xmath.mdct_windowed_fast(
         v, jnp.asarray(np.broadcast_to(w_long[None, :], v.shape)), jnp))(fr)
-    ok &= bitcmp("mdct_windowed long [129]", ref, got)
+    ok &= bitcmp("mdct_windowed_fast long [129]", ref, got)
 
     sub = (0.5 * rng.standard_normal((64, 8, 2 * C.SHORT_COEFFS))
            ).astype(np.float32)
     ref = xmath.mdct_windowed(sub, w_short[None, None, :], np)
-    got = jax.jit(lambda v: xmath.mdct_windowed(
+    got = jax.jit(lambda v: xmath.mdct_windowed_fast(
         v, jnp.asarray(np.broadcast_to(w_short[None, None, :], v.shape)),
         jnp))(sub)
-    ok &= bitcmp("mdct_windowed short [64,8]", ref, got)
+    ok &= bitcmp("mdct_windowed_fast short [64,8]", ref, got)
 
     x = (3.0 * rng.standard_normal((129, C.LONG_COEFFS))).astype(np.float32)
     ref = xmath.imdct_windowed(x, np.broadcast_to(
         w_long[None, :], (129, C.LONG_SIZE)), np)
-    got = jax.jit(lambda v: xmath.imdct_windowed(v, jnp.asarray(
+    got = jax.jit(lambda v: xmath.imdct_windowed_fast(v, jnp.asarray(
         np.broadcast_to(w_long[None, :], (v.shape[0], C.LONG_SIZE))), jnp))(x)
-    ok &= bitcmp("imdct_windowed long [129]", ref, got)
+    ok &= bitcmp("imdct_windowed_fast long [129]", ref, got)
 
     # 3. full engine analyze vs spec analyze_frame, all block types
     from mrcaudiocodec_tpu.ops import dsp as jdsp

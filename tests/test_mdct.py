@@ -141,6 +141,34 @@ def test_dct_iv_matches_matrix(m):
     np.testing.assert_allclose(got, ref, atol=3e-6 * np.abs(ref).max())
 
 
+@pytest.mark.parametrize("m", [128, 1024])
+def test_dct_iv_fast_bitwise_equals_reference(m):
+    """The roll-form evaluation (classic-DIF storage + transpose bitrev,
+    xmath.dct_iv_fast — the TPU engine's production path) computes values
+    BIT-identical to the normative Stockham sequence: same butterflies on
+    the same operands, different storage schedule."""
+    from mrcaudiocodec_tpu import xmath
+
+    rng = np.random.default_rng(7)
+    for scale in (1.0, 1e-6, 1e4):
+        u = (scale * rng.standard_normal((23, m))).astype(np.float32)
+        a = xmath.dct_iv(u, np)
+        b = xmath.dct_iv_fast(u, np)
+        assert (a.view(np.uint32) == b.view(np.uint32)).all()
+    # signed zeros and 3-D leading dims
+    u = np.zeros((3, 4, m), np.float32)
+    u[1] = -0.0
+    assert (xmath.dct_iv(u, np).view(np.uint32)
+            == xmath.dct_iv_fast(u, np).view(np.uint32)).all()
+    fr = rng.standard_normal((11, 2 * m)).astype(np.float32)
+    w = rng.standard_normal((2 * m,)).astype(np.float32)
+    assert (xmath.mdct_windowed(fr, w, np).view(np.uint32)
+            == xmath.mdct_windowed_fast(fr, w, np).view(np.uint32)).all()
+    x = rng.standard_normal((11, m)).astype(np.float32)
+    assert (xmath.imdct_windowed(x, w, np).view(np.uint32)
+            == xmath.imdct_windowed_fast(x, w, np).view(np.uint32)).all()
+
+
 def test_analyze_spec_vs_engine_bitwise():
     """Whole-filterbank bit equality: spec.analyze_frame vs ops.dsp.analyze
     coefficients match BITWISE for every block type (fold, window multiply
