@@ -96,6 +96,14 @@ class CodecConfig:
 
     def frames_for_samples(self, n: int) -> int:
         """Number of frame slots to encode n samples (with priming+flush)."""
-        # Frame f covers samples [f*HOP, f*HOP + LONG_SIZE); sample n-1 is
-        # fully reconstructed once frame floor((n-1)/HOP)+1 is decoded.
-        return max(1, -(-n // HOP) + 1)
+        return frames_for_samples(n)
+
+
+def frames_for_samples(n: int) -> int:
+    """Number of frame slots to encode n samples (with priming+flush).
+
+    Frame f covers samples [f*HOP, f*HOP + LONG_SIZE); sample n-1 is
+    fully reconstructed once frame floor((n-1)/HOP)+1 is decoded. Depends
+    only on the fixed block geometry, not on any CodecConfig field.
+    """
+    return max(1, -(-n // HOP) + 1)

@@ -20,18 +20,27 @@ import time
 
 import numpy as np
 
-from .config import CodecConfig
+from .config import CodecConfig, frames_for_samples
 from .spec import audiofile
+
+
+# Fused groups pad every clip's frame count up to a multiple of this, so
+# one compiled executable serves a whole bucket of similar lengths (waste
+# is bounded by FRAME_BUCKET-1 silent frames ~ 1.5 s per clip).
+FRAME_BUCKET = 64
 
 
 def encode_batch(clips: list[np.ndarray], cfg: CodecConfig) -> list[bytes]:
     """Encode clips, batching device work across clips where possible.
 
-    Each clip is [n] or [n, channels] float32 (or int16). Equal-length
-    batches run through the fused one-dispatch encode step (every channel
-    of every clip is one batch row — acceptance config 4's "64 clips in
-    parallel on one chip"); mixed lengths fall back to per-clip encoding
-    through the shared chunk executables.
+    Each clip is [n] or [n, channels] float32 (or int16). Batches whose
+    clips share channel count and dtype — lengths may DIFFER — run through
+    the fused one-dispatch encode step (every channel of every clip is one
+    batch row, tail-padded with silence to a shared frame count —
+    acceptance config 4's "64 clips in parallel on one chip"); mixed
+    channel counts/dtypes fall back to per-clip encoding through the
+    shared chunk executables. Streams are byte-identical either way
+    (tests/test_corpus_parallel.py).
     """
     from .models import codec as tcodec
 
@@ -43,19 +52,27 @@ def encode_batch(clips: list[np.ndarray], cfg: CodecConfig) -> list[bytes]:
         if x.ndim == 1:
             x = x[:, None]
         arrs.append(x)
-    if len({a.shape for a in arrs}) == 1 and len(arrs) > 1:
+    if (len(arrs) > 1
+            and len({a.shape[1] for a in arrs}) == 1
+            and len({a.dtype for a in arrs}) == 1):
         return _encode_batch_fused(arrs, cfg)
     return [tcodec.encode(x, cfg) for x in arrs]
 
 
 def _encode_batch_fused(arrs: list[np.ndarray], cfg: CodecConfig) -> list[bytes]:
-    """Equal-shape clips -> fused device dispatches over ALL local devices.
+    """Same-channel-count clips -> fused device dispatches over ALL local
+    devices.
 
     Channel rows are the batch axis, sharded over the mesh 'data' axis
-    (acceptance configs 4-5). Rows are padded with silent clips up to a
-    multiple of the device count; the padding rows are dropped after the
-    step. int16 sources stay int16 through the upload and halo exchange
-    (the shard body converts on device — exact /32768, half the bytes).
+    (acceptance configs 4-5). Mixed lengths are tail-padded with silence
+    up to a shared frame count (a FRAME_BUCKET multiple, so similar
+    lengths reuse one executable); the sharded body takes each row's TRUE
+    frame count so the reservoir's mean PE — the only whole-clip quantity
+    — ignores pad frames and streams stay byte-identical to per-clip
+    encoding. Rows are also padded with silent clips up to a multiple of
+    the device count; padding rows/frames are dropped after the step.
+    int16 sources stay int16 through the upload and halo exchange (the
+    shard body converts on device — exact /32768, half the bytes).
     """
     import jax
     import jax.numpy as jnp
@@ -69,24 +86,33 @@ def _encode_batch_fused(arrs: list[np.ndarray], cfg: CodecConfig) -> list[bytes]
     from .models.packing import pack_records
     from .utils.bits import pack_codes
 
-    n, nch = arrs[0].shape
-    nf = cfg.frames_for_samples(n)
+    nch = arrs[0].shape[1]
+    n_list = [a.shape[0] for a in arrs]
+    nf_list = [cfg.frames_for_samples(n) for n in n_list]
+    nf = -(-max(nf_list) // FRAME_BUCKET) * FRAME_BUCKET
     rows = len(arrs) * nch
-    n_data = min(jax.device_count(), rows)
+    # LOCAL devices only: under a multi-host launch each host encodes its
+    # own clip subset (round-robin split in parallel/launch.py) — host-
+    # local work on host-local chips, no cross-host collectives needed
+    local = jax.local_devices()
+    n_data = min(len(local), rows)
     rows_pad = -(-rows // n_data) * n_data
     dtype = (np.int16 if all(a.dtype == np.int16 for a in arrs)
              else np.float32)
     xp = np.zeros((rows_pad, nf * C.HOP), dtype)
+    nf_row = np.full((rows_pad,), nf, np.int32)
     for i, a in enumerate(arrs):
         af = (a if a.dtype == dtype
               else a.astype(np.float32) / np.float32(32768.0))
         for ch in range(nch):
-            xp[i * nch + ch, :n] = af[:, ch]
+            xp[i * nch + ch, :n_list[i]] = af[:, ch]
+            nf_row[i * nch + ch] = nf_list[i]
 
-    mesh = pmesh.make_mesh(n_data, 1, devices=jax.devices()[:n_data])
-    step = sharded_encode_step(mesh, cfg, nf)
+    mesh = pmesh.make_mesh(n_data, 1, devices=local[:n_data])
+    step = sharded_encode_step(mesh, cfg, nf, per_row_nf=True)
     xd = jax.device_put(jnp.asarray(xp), pmesh.seq_sharding(mesh))
-    q, amp, gain, bt, bits, cb = step(xd)
+    nd = jax.device_put(jnp.asarray(nf_row), pmesh.data_sharding(mesh))
+    q, amp, gain, bt, bits, cb = step(xd, nd)
     for a in (q, amp, gain, bt, cb):
         a.copy_to_host_async()
     q, amp, gain, bt, cb = [np.asarray(v)
@@ -95,12 +121,15 @@ def _encode_batch_fused(arrs: list[np.ndarray], cfg: CodecConfig) -> list[bytes]
     out = []
     for i in range(len(arrs)):
         rows_i = slice(i * nch, (i + 1) * nch)
-        # interleave channels per frame: record order (f, ch)
+        nf_i, n_i = nf_list[i], n_list[i]
+
+        # interleave channels per frame: record order (f, ch); drop the
+        # silent tail-pad frames beyond this clip's true frame count
         def inter(x):
-            return np.swapaxes(x[rows_i], 0, 1).reshape(
-                (nf * nch,) + x.shape[2:])
+            return np.swapaxes(x[rows_i, :nf_i], 0, 1).reshape(
+                (nf_i * nch,) + x.shape[2:])
         w = BitWriter()
-        write_header(w, cfg, nf, n)
+        write_header(w, cfg, nf_i, n_i)
         body = None
         if native.available():
             body = native.pack_records_native(
@@ -122,10 +151,12 @@ def run_corpus(paths: list[str], outdir: str, cfg_base: dict,
                group_size: int | None = None) -> dict:
     """Encode files with manifest-based resume. Returns stats.
 
-    Equal-shape clips are accumulated into groups and encoded as ONE
-    data-sharded mega-batch over every local device (the fused path in
-    encode_batch); odd-shaped stragglers take the per-clip chunked path.
-    Streams are byte-identical either way (tests/test_sharded.py,
+    Clips are bucketed by (fs, channels, dtype, ceil(frames/FRAME_BUCKET))
+    — NOT exact length — and each bucket is encoded as ONE data-sharded
+    mega-batch over every local device (the fused path in encode_batch,
+    tail-padding mixed lengths inside the bucket), so a real corpus with
+    varying clip lengths still rides the fused path. Streams are
+    byte-identical to per-clip encoding either way (tests/test_sharded.py,
     tests/test_corpus_parallel.py). The manifest is written per flushed
     group, so restart cost is bounded by group_size clips.
     """
@@ -134,11 +165,14 @@ def run_corpus(paths: list[str], outdir: str, cfg_base: dict,
     os.makedirs(outdir, exist_ok=True)
     manifest_path = manifest_path or os.path.join(outdir, "manifest.jsonl")
     done = set()
+    claimed_dst: dict[str, str] = {}          # dst -> src (from manifest)
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             for line in f:
                 try:
-                    done.add(json.loads(line)["src"])
+                    rec = json.loads(line)
+                    done.add(rec["src"])
+                    claimed_dst[rec.get("dst", "")] = rec["src"]
                 except (json.JSONDecodeError, KeyError):
                     continue
     todo = [p for p in paths if p not in done]
@@ -150,19 +184,34 @@ def run_corpus(paths: list[str], outdir: str, cfg_base: dict,
     t0 = time.perf_counter()
     pending: dict[tuple, list[tuple[str, np.ndarray]]] = {}
 
+    used_dst: set[str] = set()
+
+    def dst_for(path: str) -> str:
+        """Output path; de-collide clips that share a basename (e.g.
+        a/x.wav and b/x.wav) instead of silently overwriting — collisions
+        get a .1/.2 suffix. A dst claimed by THIS src in the manifest
+        (partial re-run) may be overwritten."""
+        base = os.path.splitext(os.path.basename(path))[0]
+        dst = os.path.join(outdir, base + ".mrc")
+        k = 1
+        while (dst in used_dst
+               or claimed_dst.get(dst, path) != path):
+            dst = os.path.join(outdir, f"{base}.{k}.mrc")
+            k += 1
+        used_dst.add(dst)
+        return dst
+
     with open(manifest_path, "a") as mf:
 
         def flush(key):
             group = pending.pop(key, [])
             if not group:
                 return
-            (shape, fs, _), items = key, group
-            cfg = CodecConfig(fs=fs, channels=shape[1], **cfg_base)
+            (fs, nch, _, _), items = key, group
+            cfg = CodecConfig(fs=fs, channels=nch, **cfg_base)
             datas = encode_batch([x for _, x in items], cfg)
             for (path, x), data in zip(items, datas):
-                dst = os.path.join(
-                    outdir,
-                    os.path.splitext(os.path.basename(path))[0] + ".mrc")
+                dst = dst_for(path)
                 with open(dst, "wb") as f:
                     f.write(data)
                 mf.write(json.dumps({"src": path, "dst": dst,
@@ -174,7 +223,9 @@ def run_corpus(paths: list[str], outdir: str, cfg_base: dict,
 
         for path in todo:
             x, fs = audiofile.read_wav(path, raw_int16=True)
-            key = (x.shape, fs, str(x.dtype))
+            nf = frames_for_samples(x.shape[0])
+            key = (fs, x.shape[1], str(x.dtype),
+                   -(-nf // FRAME_BUCKET))
             pending.setdefault(key, []).append((path, x))
             if len(pending[key]) >= group_size:
                 flush(key)

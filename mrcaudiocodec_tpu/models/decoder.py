@@ -64,14 +64,15 @@ def _synth_chunk(q, e_band, bt, carry_in, fs, window, pcm16):
         return pcm, carry_out
 
 
-def decode(data: bytes, pcm_dtype="float32"):
-    """MRC1 bytes -> (pcm [n, channels], cfg). TPU synthesis path.
+def parse_records(data: bytes):
+    """Parse every channel-frame record of an MRC1 stream on the host.
 
-    pcm_dtype="int16" returns write-ready 16-bit PCM (half the
-    device->host bytes; rounding happens on device after overlap-add)."""
-    cfg, nf, n_samples, hdr_bits = spec_bitstream.read_header(data)
+    Returns (q [nf*nch, 1024] i32, e_band [nf*nch, NB] i32,
+    bt [nf*nch] i32) in record (frame, channel) order — via the native
+    C++ parallel parser when built, else the pure-Python fallback."""
+    cfg, nf, _, hdr_bits = spec_bitstream.read_header(data)
     nch = cfg.channels
-    offs, lens = spec_bitstream.frame_byte_offsets(
+    offs, _ = spec_bitstream.frame_byte_offsets(
         data, hdr_bits // 8, nf * nch)
 
     from .. import native
@@ -97,6 +98,19 @@ def decode(data: bytes, pcm_dtype="float32"):
             first_bin = np.minimum(edges[:-1], C.LONG_COEFFS - 1)
             e_band[i] = np.where(lay["width"][bti] > 0,
                                  e_bin_i[first_bin], gaini)
+    return q, e_band, bt
+
+
+def decode(data: bytes, pcm_dtype="float32"):
+    """MRC1 bytes -> (pcm [n, channels], cfg). TPU synthesis path.
+
+    pcm_dtype="int16" returns write-ready 16-bit PCM (half the
+    device->host bytes; rounding happens on device after overlap-add)."""
+    cfg, nf, n_samples, hdr_bits = spec_bitstream.read_header(data)
+    nch = cfg.channels
+    lay = T.unified_layout(cfg.fs)
+    nb = lay["nb"]
+    q, e_band, bt = parse_records(data)
 
     # de-interleave records (f, ch) -> per channel [nf, ...]
     q = q.reshape(nf, nch, -1)

@@ -28,9 +28,19 @@ import numpy as np
 
 
 def initialize(coordinator: str | None, num_hosts: int, host_id: int):
-    """jax.distributed init (no-op for single-host runs)."""
+    """jax.distributed init (no-op for single-host runs).
+
+    MRC_FORCE_CPU=1 pins the CPU platform BEFORE backend init (the
+    sandbox's axon sitecustomize overrides JAX_PLATFORMS=cpu from the
+    environment, but a jax.config update after import wins — same trick
+    as tests/conftest.py) so a multi-host launch can be exercised as N
+    localhost processes: scripts/run_multihost_cpu.py."""
+    import os
+
     import jax
 
+    if os.environ.get("MRC_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
     if num_hosts > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator,

@@ -47,12 +47,20 @@ def _block_types_sharded(tr, tr_prev_last, tr_next_first, window_switching):
     return bt.astype(I32)
 
 
-def _shard_encode_body(xp, cfg, total_frames: int, axis: str = "seq"):
+def _shard_encode_body(xp, nf_row, cfg, total_frames: int, axis: str = "seq"):
     """Per-shard encode body (runs inside shard_map).
 
     xp: [B_loc, F_loc * HOP] — this shard's contiguous chunk of the padded
     signal (global layout: [zeros(HOP) | x | zeros] with the leading
     priming hop NOT included; it materializes as shard 0's zero halo).
+    nf_row: [B_loc] int32 — each row's TRUE frame count (rows may carry
+    tail padding up to total_frames so mixed-length clips share one
+    executable; see corpus._encode_batch_fused). Pad frames are all-zero
+    by construction, so transients/block types of real frames are
+    unaffected; the ONLY whole-clip quantity is the reservoir's mean PE,
+    which masks pad frames and divides by nf_row — making every real
+    frame's budget (and hence the stream) byte-identical to encoding the
+    unpadded clip alone (tests/test_corpus_parallel.py).
     Returns per-local-frame decision arrays.
     """
     naxis = jax.lax.psum(1, axis)
@@ -99,11 +107,15 @@ def _shard_encode_body(xp, cfg, total_frames: int, axis: str = "seq"):
     mean_bits = int(cfg.mean_frame_bits)
     if cfg.reservoir:
         pe_q = reservoir.quantize_pe(pe).reshape(b_loc, f_loc)
+        # mask tail-pad frames out of the whole-clip mean-PE sum (their PE
+        # is already ~0 for silence, but the DENOMINATOR must be nf_row)
+        gidx = idx * f_loc + jnp.arange(f_loc, dtype=I32)    # [F_loc]
+        pe_q = jnp.where(gidx[None, :] < nf_row[:, None], pe_q, 0)
         hi_l, lo_l = reservoir.split_pe_sums(pe_q, axis=1)  # [B] each
         hi_g = jax.lax.psum(hi_l, axis)
         lo_g = jax.lax.psum(lo_l, axis)
         mean_pe = reservoir.mean_pe_from_sums(hi_g, lo_g,
-                                              total_frames)  # [B]
+                                              nf_row)       # [B]
         desired = reservoir.desired_bits(
             pe_q, mean_bits, mean_pe[:, None])              # [B, F_loc]
         cap = cfg.reservoir_cap
@@ -154,21 +166,131 @@ def _shard_encode_body(xp, cfg, total_frames: int, axis: str = "seq"):
             cb.reshape(shp + (-1,)).astype(jnp.int8))
 
 
-def sharded_encode_step(mesh, cfg, total_frames: int):
+def _shard_decode_body(q, e_band, bt, cfg, axis: str = "seq"):
+    """Per-shard decode body (runs inside shard_map) — the decode-side
+    long-context analog of _shard_encode_body (SURVEY.md §3.2, §5): each
+    'seq' shard owns a contiguous run of frames, dequantizes and IMDCTs
+    them locally, and the 50%-overlap-add needs exactly ONE ppermute — the
+    previous shard's last synthesis frame's second half.
+
+    q: [B_loc, F_loc, 1024] int16, e_band: [B_loc, F_loc, NB] int16,
+    bt: [B_loc, F_loc] int8. Returns pcm hops [B_loc, F_loc * HOP] f32
+    (global hop f = first_half[f] + second_half[f-1], the same single f32
+    add the chunked decoder performs, so sharded == unsharded bitwise).
+    """
+    from ..ops.entropy import _select_by_bt
+
+    naxis = jax.lax.psum(1, axis)
+    idx = jax.lax.axis_index(axis)
+    lay = T.unified_layout(cfg.fs)
+    b_loc, f_loc = bt.shape
+    btf = bt.astype(I32).reshape(-1)
+    qf = q.reshape(b_loc * f_loc, -1).astype(I32)
+    ef = e_band.reshape(b_loc * f_loc, -1)
+    bin_mask = _select_by_bt(lay["band_mask"], btf).astype(jnp.bfloat16)
+    e_bin = jnp.einsum("fn,fin->fi", ef.astype(jnp.bfloat16), bin_mask,
+                       precision=jax.lax.Precision.DEFAULT,
+                       preferred_element_type=jnp.float32).astype(I32)
+    xhat = quantize.dequantize(qf, e_bin)
+    frames = dsp.synthesize(xhat, btf, cfg.window).reshape(
+        b_loc, f_loc, C.LONG_SIZE)
+    first = frames[:, :, :C.HOP]
+    second = frames[:, :, C.HOP:]
+    # N8 halo (decode direction): previous shard's last second-half
+    right = [(i, (i + 1) % naxis) for i in range(naxis)]
+    halo = jax.lax.ppermute(second[:, -1], axis, right)      # [B, HOP]
+    halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+    prev_second = jnp.concatenate([halo[:, None], second[:, :-1]], axis=1)
+    hops = first + prev_second                               # [B, F_loc, HOP]
+    return hops.reshape(b_loc, f_loc * C.HOP)
+
+
+def sharded_decode_step(mesh, cfg, total_frames: int):
+    """Build the jitted sharded decode step for a ('data','seq') mesh.
+
+    Input:  q [B, total_frames, 1024] i16, e_band [B, total_frames, NB]
+            i16, bt [B, total_frames] i8 — per-channel frame records,
+            tail-padded with zero frames so that (a) total_frames divides
+            the 'seq' axis and (b) at least one pad frame exists (its hop
+            then carries the final flush second-half, so the host just
+            slices pcm[HOP : HOP + n_samples]).
+    Output: pcm [B, total_frames * HOP] float32, sharded P('data','seq').
+    """
+    def body(q, e_band, bt):
+        with jax.default_matmul_precision("highest"):
+            return _shard_decode_body(q, e_band, bt, cfg=cfg)
+    sm = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", "seq", None), P("data", "seq", None),
+                  P("data", "seq")),
+        out_specs=P("data", "seq"),
+        check_vma=False)
+    return jax.jit(sm)
+
+
+def sharded_decode(data: bytes, mesh) -> tuple[np.ndarray, object]:
+    """MRC1 bytes -> (pcm [n, channels] float32, cfg), decoded with the
+    frame axis sharded over the mesh's 'seq' devices and channels over
+    'data' — bitwise-equal to models.decoder.decode (tests/test_sharded.py).
+    """
+    import jax.numpy as jnp
+    from ..spec import bitstream as spec_bitstream
+    from ..models import decoder as mdec
+
+    cfg, nf, n_samples, hdr_bits = spec_bitstream.read_header(data)
+    nch = cfg.channels
+    q, e_band, bt = mdec.parse_records(data)
+    n_seq = mesh.shape["seq"]
+    n_data = mesh.shape["data"]
+    nf_pad = -(-(nf + 1) // n_seq) * n_seq      # >= nf+1 (flush hop)
+    rows = -(-nch // n_data) * n_data           # silent rows pad 'data'
+    lay = T.unified_layout(cfg.fs)
+    qc = np.zeros((rows, nf_pad, C.LONG_COEFFS), np.int16)
+    ec = np.zeros((rows, nf_pad, lay["nb"]), np.int16)
+    bc = np.zeros((rows, nf_pad), np.int8)
+    qc[:nch, :nf] = np.swapaxes(q.reshape(nf, nch, -1), 0, 1)
+    ec[:nch, :nf] = np.swapaxes(e_band.reshape(nf, nch, -1), 0, 1)
+    bc[:nch, :nf] = bt.reshape(nf, nch).T
+    step = sharded_decode_step(mesh, cfg, nf_pad)
+    from jax.sharding import NamedSharding
+    sh3 = NamedSharding(mesh, P("data", "seq", None))
+    sh2 = NamedSharding(mesh, P("data", "seq"))
+    pcm = step(jax.device_put(jnp.asarray(qc), sh3),
+               jax.device_put(jnp.asarray(ec), sh3),
+               jax.device_put(jnp.asarray(bc), sh2))
+    pcm = np.asarray(pcm)[:nch]
+    return np.ascontiguousarray(pcm[:, C.HOP:C.HOP + n_samples].T), cfg
+
+
+def sharded_encode_step(mesh, cfg, total_frames: int,
+                        per_row_nf: bool = False):
     """Build the jitted sharded encode step for a ('data','seq') mesh.
 
     Input:  xp [n_clips, total_frames * HOP] float32 — padded signals
             (without the leading priming hop), sharded P('data', 'seq').
+            With per_row_nf=True the step takes a second argument
+            nf_row [n_clips] int32 (each row's true frame count; rows are
+            tail-padded with silence up to total_frames) so mixed-length
+            clips share one executable with per-clip byte equality.
     Output: per-frame decision arrays, sharded P('data', 'seq').
     """
-    def body(xp):
+    def body(xp, nf_row):
         with jax.default_matmul_precision("highest"):
-            return _shard_encode_body(xp, cfg=cfg, total_frames=total_frames)
+            return _shard_encode_body(xp, nf_row, cfg=cfg,
+                                      total_frames=total_frames)
     sm = jax.shard_map(
         body, mesh=mesh,
-        in_specs=P("data", "seq"),
+        in_specs=(P("data", "seq"), P("data")),
         out_specs=(P("data", "seq", None), P("data", "seq", None),
                    P("data", "seq"), P("data", "seq"), P("data", "seq"),
                    P("data", "seq", None)),
         check_vma=False)
-    return jax.jit(sm)
+    jitted = jax.jit(sm)
+    if per_row_nf:
+        return jitted
+
+    def uniform(xp):
+        nf_row = jnp.full((xp.shape[0],), total_frames, I32)
+        return jitted(xp, nf_row)
+
+    return uniform

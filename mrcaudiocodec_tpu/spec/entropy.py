@@ -294,8 +294,17 @@ def decode_frame_content(cur: _Bits, fs: int):
                         e = 4
                         while cur.take(1):
                             e += 1
-                            if e > 32:     # corrupt stream guard
-                                raise ValueError("escape exponent overflow")
+                            # corrupt stream guard: legal magnitudes are
+                            # <= QMAX = 4095, so the largest encodable
+                            # exponent is 11 ((1<<11) + 2047). Anything
+                            # bigger can only come from a corrupt stream;
+                            # without this check the value would wrap
+                            # through int64 into the int32 q array.
+                            if e > 11:
+                                raise ValueError(
+                                    f"escape exponent {e} exceeds QMAX range")
+                        # e <= 11 bounds the magnitude at 2^11 + (2^11 - 1)
+                        # = 4095 = QMAX, so no separate value check needed.
                         vals[i] = (1 << e) + cur.take(e)
                 for i, s in enumerate(signs):
                     if s:

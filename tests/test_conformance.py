@@ -73,13 +73,17 @@ def test_tpu_path_bit_exact(name, fs, channels, bitrate, kw):
     # The contract: identical rate decisions => identical bitstream. On the
     # CPU backend both engines' decision arithmetic is identical, so every
     # frame must match and the streams must be byte-equal. On the real TPU
-    # (MRC_TESTS_KEEP_TPU=1) matmul-rounding differences can flip isolated
-    # quantizer boundaries; hardware agreement measured 543/544 frames
-    # across 5 configs (TPU_CONFORMANCE.json, v5e 2026-08), so demand
-    # >= 97% per config there.
+    # (MRC_TESTS_KEEP_TPU=1): post-xmath the MDCT is bitwise-identical on
+    # hardware, and 4/5 conformance configs are byte-equal (v5e regen
+    # 2026-08-20, TPU_CONFORMANCE.json); the residual is the PSYCHO model
+    # (bf16x6-HIGHEST matmuls + backend transcendentals) whose f32 ulps
+    # flipped floor(pe) -> one budget -> one record on g3 (67/68 — see
+    # scripts/tpu_g3_probe.py for the stage-by-stage evidence). Demand
+    # >= 98% per config on hardware until the psycho chain is pinned the
+    # way the MDCT was.
     import os
     if os.environ.get("MRC_TESTS_KEEP_TPU"):
-        assert same / nf >= 0.97, f"{name}: only {same}/{nf} frames identical"
+        assert same / nf >= 0.98, f"{name}: only {same}/{nf} frames identical"
     else:
         assert same == nf, f"{name}: only {same}/{nf} frames identical"
         assert bs_spec == bs_tpu

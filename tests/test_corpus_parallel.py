@@ -80,6 +80,56 @@ def test_run_corpus_mixed_shapes(tmp_path):
             assert f.read() == tcodec.encode(x, cfg), p
 
 
+def test_run_corpus_mixed_lengths_one_bucket(tmp_path):
+    """Clips of DIFFERENT lengths in the same FRAME_BUCKET bucket must
+    flush as ONE fused mega-batch (VERDICT r3 #7: real corpora have varying
+    lengths) and stay byte-identical to per-clip encoding."""
+    indir, outdir = tmp_path / "in", tmp_path / "out"
+    indir.mkdir()
+    paths = []
+    rng = np.random.default_rng(3)
+    # lengths 0.25..0.62 s -> nf in [12..28], all within bucket ceil(nf/64)=1
+    for i, sec in enumerate([0.25, 0.33, 0.41, 0.5, 0.62]):
+        x = corpus._synth_corpus(1, sec, seed=100 + i)[0]
+        p = os.path.join(str(indir), f"len{i}.wav")
+        audiofile.write_wav(p, x, 44100)
+        paths.append(p)
+    stats = corpus.run_corpus(paths, str(outdir), {"bitrate": 128000})
+    assert stats["encoded"] == 5
+    assert stats["batches"] == 1, "mixed lengths should share one bucket"
+
+    from mrcaudiocodec_tpu.models import codec as tcodec
+    cfg = CodecConfig(fs=44100, channels=2, bitrate=128000)
+    for i, p in enumerate(paths):
+        x, _ = audiofile.read_wav(p, raw_int16=True)
+        with open(outdir / f"len{i}.mrc", "rb") as f:
+            assert f.read() == tcodec.encode(x, cfg), f"clip {i} differs"
+
+
+def test_run_corpus_basename_collision(tmp_path):
+    """Two sources with the same basename must both be written (suffix
+    de-collision), not silently overwrite each other."""
+    ina, inb = tmp_path / "a", tmp_path / "b"
+    outdir = tmp_path / "out"
+    ina.mkdir(), inb.mkdir()
+    xa = corpus._synth_corpus(1, 0.3, seed=1)[0]
+    xb = corpus._synth_corpus(1, 0.3, seed=2)[0]
+    pa, pb = str(ina / "same.wav"), str(inb / "same.wav")
+    audiofile.write_wav(pa, xa, 44100)
+    audiofile.write_wav(pb, xb, 44100)
+    stats = corpus.run_corpus([pa, pb], str(outdir), {"bitrate": 96000})
+    assert stats["encoded"] == 2
+    outs = sorted(os.path.basename(p) for p in glob.glob(str(outdir / "*.mrc")))
+    assert outs == ["same.1.mrc", "same.mrc"]
+    with open(tmp_path / "out" / "manifest.jsonl") as f:
+        recs = [json.loads(l) for l in f]
+    assert {r["src"] for r in recs} == {pa, pb}
+    assert len({r["dst"] for r in recs}) == 2
+    # resume run touches nothing
+    s2 = corpus.run_corpus([pa, pb], str(outdir), {"bitrate": 96000})
+    assert s2["encoded"] == 0 and s2["skipped"] == 2
+
+
 def test_fused_int16_batch_matches_float(tmp_path):
     """int16 mega-batch rows produce the same streams as the float path."""
     cfg = CodecConfig(fs=44100, channels=2, bitrate=128000)

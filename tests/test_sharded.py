@@ -121,6 +121,29 @@ def test_dryrun_multichip_entry():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.parametrize("n_data,n_seq", [(1, 8), (2, 4), (8, 1)])
+def test_sharded_decode_equals_unsharded(n_data, n_seq):
+    """Decode-side N8 parity (VERDICT r3 #8): seq-sharded dequant + IMDCT
+    + one ppermute overlap-add boundary must reproduce the single-device
+    decoder's PCM BITWISE, at several mesh shapes."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from mrcaudiocodec_tpu.models import codec as tcodec
+    from mrcaudiocodec_tpu.parallel.sharded import sharded_decode
+
+    cfg = CodecConfig(fs=44100, channels=2, bitrate=128000)
+    x = _clips(2, 20)
+    xs = np.stack([x[0], x[1] * 0.8], axis=1)         # [n, 2] stereo
+    bs = tcodec.encode(xs, cfg)
+    y_ref, _ = tcodec.decode(bs)                      # chunked single-device
+    mesh = pmesh.make_mesh(n_data, n_seq)
+    y_sh, cfg2 = sharded_decode(bs, mesh)
+    assert cfg2.channels == 2
+    assert y_sh.shape == y_ref.shape
+    np.testing.assert_array_equal(y_sh, y_ref,
+                                  f"mesh ({n_data},{n_seq}) PCM differs")
+
+
 def test_encode_batch_fused_matches_per_clip():
     """Fused batch encode must produce the same streams as per-clip encode."""
     from mrcaudiocodec_tpu.corpus import encode_batch, _synth_corpus

@@ -158,6 +158,61 @@ def test_spec_decode_corrupt_stream_safe():
             pass              # clean rejection is the expected outcome
 
 
+def test_spec_decode_oversized_escape_rejected():
+    """A crafted CB_ESC payload whose escape unary prefix runs past the
+    QMAX-legal exponent (e=11) must raise ValueError — not wrap a huge
+    int64 value into the int32 q array (spec/entropy.py escape guard)."""
+    from mrcaudiocodec_tpu import tables as T
+    from mrcaudiocodec_tpu.spec.entropy import _Bits, decode_frame_content
+    from mrcaudiocodec_tpu.utils.bits import BitWriter, unpack_to_bits
+
+    fs = 44100
+    lay = T.unified_layout(fs)
+    ca = T.code_arrays()
+    bt = 0                                   # LONG
+    width = lay["width"][bt]
+    real = np.where(width > 0)[0]
+
+    w = BitWriter()
+    w.write(bt, C.BLOCK_TYPE_BITS)
+    w.write(100, C.GAIN_BITS)
+    for b in real:                           # band 0 CB_ESC, rest CB_ZERO
+        w.write(C.CB_ESC if b == real[0] else C.CB_ZERO, C.CB_BITS)
+    sf0 = int(ca["codes_sf"][C.SF_DELTA_MAX])     # delta = 0
+    sf0_len = int(ca["len_sf"][C.SF_DELTA_MAX])
+    for _ in real:
+        w.write(sf0, sf0_len)
+    # first pair of band 0: magnitudes (16, 0) -> escape on value 0
+    sym = 16 * (C.ESC_MAG + 1) + 0
+    w.write(int(ca["codes_esc"][sym]), int(ca["len_esc"][sym]))
+    w.write(0, 1)                            # sign bit (positive)
+    w.write((1 << 14) - 1, 14)               # unary run: e would reach 18
+    w.write(0, 50)                           # padding so reads never EOF
+    bits = unpack_to_bits(w.getvalue())
+    with pytest.raises(ValueError, match="escape exponent"):
+        decode_frame_content(_Bits(bits), fs)
+
+
+def test_spec_decode_max_escape_roundtrips():
+    """QMAX itself (e=11, all-ones suffix) must still decode: the guard
+    rejects only exponents beyond the encodable range."""
+    fs = 44100
+    from mrcaudiocodec_tpu import tables as T
+    from mrcaudiocodec_tpu.spec.entropy import (_Bits, decode_frame_content,
+                                                encode_frame_symbols)
+    from mrcaudiocodec_tpu.utils.bits import pack_codes, unpack_to_bits
+    q = np.zeros(C.LONG_COEFFS, dtype=np.int32)
+    q[0] = C.QMAX
+    q[1] = -C.QMAX
+    amp = np.zeros(T.unified_layout(fs)["nb"], dtype=np.int32)
+    codes, lens = encode_frame_symbols(q, amp, 120, 0, fs)
+    bits = unpack_to_bits(pack_codes(np.asarray(codes, np.uint64),
+                                     np.asarray(lens, np.int64)))
+    q2, _, bt2, gain2 = decode_frame_content(_Bits(bits), fs)
+    assert bt2 == 0 and gain2 == 120
+    np.testing.assert_array_equal(q2, q)
+
+
 def test_spec_decode_random_bytes_safe():
     """Pure-garbage payload after a valid header: ValueError or a decoded
     signal, never an uncontrolled exception."""
