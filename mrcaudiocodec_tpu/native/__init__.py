@@ -89,6 +89,48 @@ def _build_xmath() -> str | None:
     return None
 
 
+_PSRC = os.path.join(_DIR, "xpsy_ffi.cpp")
+_PSO = os.path.join(_DIR, f"mrc_xpsy_{sys.implementation.cache_tag}.so")
+
+
+def _build_ffi(src: str, so: str) -> str | None:
+    """Shared strict-IEEE FFI build: -ffp-contract=off is LOAD-BEARING
+    (GCC contracts mul+add to FMA even without -ffast-math); atomic
+    publish via temp + os.replace (concurrent builders race safely)."""
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    import jax.ffi
+    inc = jax.ffi.include_dir()
+    tmp = f"{so}.tmp.{os.getpid()}"
+    for cxx in ("g++", "c++", "clang++"):
+        for extra in (["-fopenmp"], []):
+            try:
+                subprocess.run(
+                    [cxx, "-O3", "-std=c++17", "-shared", "-fPIC",
+                     "-ffp-contract=off", f"-I{inc}", *extra,
+                     src, "-o", tmp],
+                    check=True, capture_output=True, timeout=180)
+                os.replace(tmp, so)
+                return so
+            except (FileNotFoundError, subprocess.CalledProcessError,
+                    subprocess.TimeoutExpired):
+                continue
+    return None
+
+
+@functools.lru_cache(maxsize=1)
+def xpsy_ffi_registered() -> bool:
+    """Build + register the mrc_xpsy CPU custom call. True if usable."""
+    so = _build_ffi(_PSRC, _PSO)
+    if so is None:
+        return False
+    import jax.ffi
+    lib = ctypes.CDLL(so)
+    jax.ffi.register_ffi_target(
+        "mrc_xpsy", jax.ffi.pycapsule(lib.MrcXpsy), platform="cpu")
+    return True
+
+
 @functools.lru_cache(maxsize=1)
 def xmath_ffi_registered() -> bool:
     """Build + register the mrc_xmath CPU custom call. True if usable."""

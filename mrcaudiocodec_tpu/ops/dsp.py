@@ -57,17 +57,40 @@ def detect_transients(frames: jnp.ndarray) -> jnp.ndarray:
 
 
 def _detect_transients_block(frames: jnp.ndarray) -> jnp.ndarray:
-    """[F, 2048] -> [F] bool (mirror of spec.dsp.detect_transients)."""
-    from ..spec.dsp import ATTACK_ABS, ATTACK_EPS, ATTACK_RATIO, N_SUB
+    """[F, 2048] -> [F] bool — the shared pinned sequence
+    (xpsy.transient_detect, normative rev 4), bit-identical to the spec
+    on every backend. On XLA:CPU the d^2 sub-block energies route through
+    the native FFI (mode 2: squared segmented sums) because the square
+    feeding the scan's adds would FMA-contract; everything downstream is
+    adds/add-then-mul/compares, contraction-immune anywhere."""
+    from .. import xpsy
     fr = frames.astype(F32)
-    d = jnp.concatenate(
-        [jnp.zeros_like(fr[:, :1]), fr[:, 1:] - fr[:, :-1]], axis=1)
-    e = (d.reshape(fr.shape[0], N_SUB, -1) ** 2).sum(axis=2)
-    csum = jnp.cumsum(e, axis=1)
-    i = jnp.arange(1, N_SUB, dtype=F32)
-    prefix_mean = csum[:, :-1] / i[None, :] + ATTACK_EPS
-    attack = (e[:, 1:] > ATTACK_RATIO * prefix_mean) & (e[:, 1:] > ATTACK_ABS)
-    return attack.any(axis=1)
+    if jax.default_backend() == "tpu":
+        return xpsy.transient_detect(fr, jnp)
+    from .. import native
+    if jax.default_backend() == "cpu" and native.xpsy_ffi_registered():
+        i32 = xpsy.band_energy_blob(xpsy._SUB_EDGES)
+
+        def sub_energy(d):
+            call = jax.ffi.ffi_call(
+                "mrc_xpsy",
+                (jax.ShapeDtypeStruct((d.shape[0], xpsy.N_SUB), jnp.float32),
+                 jax.ShapeDtypeStruct((d.shape[0], xpsy.N_SUB), jnp.float32),
+                 jax.ShapeDtypeStruct((d.shape[0],), jnp.float32)),
+                vmap_method="broadcast_all")
+            e, _, _ = call(d, jnp.zeros((1,), jnp.float32),
+                           jnp.asarray(i32), mode=2, full_psycho=0)
+            return e
+
+        return xpsy.transient_detect(fr, jnp, sub_energy=sub_energy)
+
+    def host(f):
+        return np.asarray(xpsy.transient_detect(
+            np.asarray(f, np.float32), np))
+
+    return jax.pure_callback(
+        host, jax.ShapeDtypeStruct((fr.shape[0],), jnp.bool_),
+        fr, vmap_method="sequential")
 
 
 def block_types(transient: jnp.ndarray, window_switching: bool) -> jnp.ndarray:

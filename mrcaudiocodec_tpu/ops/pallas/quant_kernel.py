@@ -130,20 +130,24 @@ def _quant_kernel(x_ref, amp_bin_ref, gains_ref, bt_ref, masks_ref,
     btcat = jnp.concatenate([bt_ref[:]] * 7, axis=0)       # [7BF, 1]
 
     def per_gain(gi, acc_out):
+        from ... import xpsy
         g = jnp.sum(jnp.where(giota == gi, gains, 0), axis=1)   # [BF]
         e = jnp.clip(g[:, None] - amp_bin_ref[:], C.GAIN_MIN, C.GAIN_MAX)
-        # normative quantizer op order (spec/quantize.py): exact dyadic
-        # step, one divide, sqrt(a * sqrt(a)) — bit-identical to the spec
+        # normative rev-4 quantizer sequence (spec/quantize.py): once-
+        # rounded reciprocal step (divide-free) + pinned Newton sqrt —
+        # bit-identical to the spec (Mosaic emits plain single-rounded
+        # IEEE mul/add, scripts/tpu_fma_probe.py)
         d = e - C.GAIN_BIAS
         r = d & 3
-        frac = jnp.where(r == 0, jnp.float32(1.0),
-                         jnp.where(r == 1, jnp.float32(2.0 ** 0.25),
-                                   jnp.where(r == 2, jnp.float32(2.0 ** 0.5),
-                                             jnp.float32(2.0 ** 0.75))))
-        two_k = jax.lax.bitcast_convert_type(
-            ((d >> 2) + 127) << 23, jnp.float32)
-        a = ax / (frac * two_k)
-        p = jnp.sqrt(a * jnp.sqrt(a))
+        inv_frac = jnp.where(
+            r == 0, jnp.float32(1.0),
+            jnp.where(r == 1, jnp.float32(2.0 ** -0.25),
+                      jnp.where(r == 2, jnp.float32(2.0 ** -0.5),
+                                jnp.float32(2.0 ** -0.75))))
+        two_nk = jax.lax.bitcast_convert_type(
+            (127 - (d >> 2)) << 23, jnp.float32)
+        a = ax * (inv_frac * two_nk)
+        p = xpsy.xsqrt(a * xpsy.xsqrt(a, jnp), jnp)
         mag = jnp.minimum(jnp.floor(p + C.QUANT_MAGIC),
                           float(C.QMAX)).astype(jnp.int32)  # [BF, 1024]
 

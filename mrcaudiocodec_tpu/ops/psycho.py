@@ -1,8 +1,27 @@
 """JAX psychoacoustic model: batched mirror of spec/psycho.py (R7).
 
-Long and short analyses run for every frame with static shapes (the
-spreading convolution is a plain [NP, NP] matmul — MXU-native); the result
-is selected per frame by block type.
+Normative arithmetic rev 4: the whole chain is the fixed IEEE-754 f32
+sequence defined in mrcaudiocodec_tpu/xpsy.py, shared VERBATIM with the
+spec codec, so psycho outputs (and hence every downstream rate decision)
+are bit-identical to the spec on every backend by construction — the
+property that already held for the MDCT (xmath.py) and the quantizer.
+
+Backend dispatch (same scheme as ops/dsp._norm_chain):
+
+  * TPU: the shared xpsy arithmetic in jnp. XLA:TPU emits plain
+    single-rounded IEEE mul/add for these chains (scripts/tpu_fma_probe)
+    so the jnp instantiation IS the spec. Long and short analyses run
+    for every frame with static shapes; the per-frame result is selected
+    by block type.
+  * CPU: XLA:CPU's LLVM backend contracts mul+add into FMAs through any
+    barrier (measured r3), so the contraction-exposed chains (FFT+power,
+    thresholds, pe, band energies) run the identical op DAG natively
+    (native/xpsy_ffi.cpp, -ffp-contract=off) as XLA custom calls —
+    shardable, unlike a pure_callback. Rounding-free glue (selects,
+    clips, divides, concats) stays in jnp: divide/min/max/where are
+    single correctly-rounded ops everywhere.
+  * Anything else: normative-NumPy callback (not shardable; the FFI
+    builds wherever a C++ toolchain exists).
 """
 from __future__ import annotations
 
@@ -14,56 +33,140 @@ import numpy as np
 
 from .. import config as C
 from .. import tables as T
-from ..spec.psycho import (NMT_DB, SIMPLE_OFFSET_DB, SMR_CEIL, SMR_FLOOR,
-                           TINY, TMN_DB, _hann, _psy_const)
+from .. import xpsy
 
 F32 = jnp.float32
+TINY = xpsy.TINY
+SMR_FLOOR = F32(1e-3)
+SMR_CEIL = F32(1e12)
 
 
 @functools.lru_cache(maxsize=None)
-def _dev_const(fs: int, long_block: bool):
-    cst = _psy_const(fs, C.LONG_COEFFS if long_block else C.SHORT_COEFFS,
-                     long_block)
-    out = dict(cst)
-    out["hann"] = _hann(C.LONG_SIZE if long_block else C.SHORT_SIZE)
-    return out
+def _unified_band_edges(fs: int):
+    """(long_edges, short_edges) of the unified layout as tuples."""
+    lay = T.unified_layout(fs)
+    return (tuple(int(v) for v in lay["edges"][C.LONG]),
+            tuple(int(v) for v in lay["edges"][C.SHORT]))
 
 
-def _block_thresholds(p: jnp.ndarray, cst, full_psycho: bool):
-    """[..., bins] power spectrum -> (threshold[..., nb], energy[..., nb])."""
-    from ..spec.psycho import SFM_FLOOR_REL
-    p = jnp.maximum(p, SFM_FLOOR_REL * p.max(axis=-1, keepdims=True))
-    e_part = p @ cst["part_mat"]
-    if full_psycho:
-        spread_e = e_part @ cst["spread"]
-        log_gm = (jnp.log(p + TINY) @ cst["part_mat"]) / cst["counts"]
-        geo = jnp.exp(log_gm)
-        arith = e_part / cst["counts"] + TINY
-        sfm_db = F32(10.0) * jnp.log10(
-            jnp.minimum(geo / arith, F32(1.0)) + TINY)
-        alpha = jnp.minimum(sfm_db / F32(-60.0), F32(1.0))
-        offset_db = alpha * F32(TMN_DB) + (F32(1.0) - alpha) * F32(NMT_DB)
-        t_part = spread_e * jnp.power(F32(10.0), -offset_db / F32(10.0))
-    else:
-        t_part = e_part * F32(10.0 ** (-SIMPLE_OFFSET_DB / 10.0))
-    t_part = jnp.maximum(t_part, cst["ath_part"])
-    t_density = t_part / cst["counts"]
-    big = F32(1e30)
-    dens = jnp.where(cst["pb_mask"], t_density[..., :, None], big)
-    band_t = dens.min(axis=-2) * cst["width"]
-    band_e = p @ cst["band_mat"]
-    return band_t, band_e
+def _psy_family_jnp(fr: jnp.ndarray, fs: int, long_block: bool,
+                    full_psycho: bool):
+    """[R, 2n] raw frames -> (band_t [R, nb], band_e [R, nb], pe [R])
+    through the shared chain with xp=jnp (TPU path)."""
+    cst = xpsy.psy_tables(fs, long_block)
+    if long_block:
+        w = fr * jnp.asarray(cst["hann"])
+        p = xpsy.rfft_power(w, jnp)
+        band_t, band_e = xpsy.block_thresholds(p, cst, full_psycho, jnp)
+        pe = xpsy.band_pe(band_e, band_t, cst["width"], jnp)
+        return band_t, band_e, pe
+    from .dsp import _short_subblocks
+    subs = _short_subblocks(fr) * jnp.asarray(cst["hann"])[None, None, :]
+    p = xpsy.rfft_power(subs, jnp)                       # [R, 8, 128]
+    band_t, band_e = xpsy.block_thresholds(p, cst, full_psycho, jnp)
+    pe = xpsy.groups_pe(band_e, band_t, cst["width"], jnp)
+    nf = fr.shape[0]
+    return (band_t.reshape(nf, -1), band_e.reshape(nf, -1), pe)
 
 
-def _power(spec: jnp.ndarray, n_keep: int) -> jnp.ndarray:
-    return (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)[..., :n_keep].astype(F32)
+def _psy_family_ffi(fr: jnp.ndarray, fs: int, long_block: bool,
+                    full_psycho: bool):
+    """CPU route: identical DAG inside the native kernel."""
+    from .. import native
+    f32b, i32b = xpsy.ffi_blobs(fs, long_block)
+    nf = fr.shape[0]
+    nb = (xpsy.psy_tables(fs, long_block)["nb"]
+          * (1 if long_block else C.N_SHORT))
+    call = jax.ffi.ffi_call(
+        "mrc_xpsy",
+        (jax.ShapeDtypeStruct((nf, nb), jnp.float32),
+         jax.ShapeDtypeStruct((nf, nb), jnp.float32),
+         jax.ShapeDtypeStruct((nf,), jnp.float32)),
+        vmap_method="broadcast_all")
+    return call(fr.astype(F32), jnp.asarray(f32b), jnp.asarray(i32b),
+                mode=(0 if long_block else 1),
+                full_psycho=1 if full_psycho else 0)
+
+
+def _psy_family_callback(fr: jnp.ndarray, fs: int, long_block: bool,
+                         full_psycho: bool):
+    """Fallback: normative NumPy verbatim (host callback, not shardable)."""
+    cst = xpsy.psy_tables(fs, long_block)
+    nb = cst["nb"] * (1 if long_block else C.N_SHORT)
+    nf = fr.shape[0]
+
+    def host(frames):
+        frames = np.asarray(frames, np.float32)
+        if long_block:
+            p = xpsy.rfft_power(frames * cst["hann"], np)
+            bt_, be_ = xpsy.block_thresholds(p, cst, full_psycho, np)
+            pe = xpsy.band_pe(be_, bt_, cst["width"], np)
+            return bt_, be_, pe.astype(np.float32)
+        off = C.SHORT_OFFSET
+        subs = np.stack([frames[:, off + g * C.SHORT_COEFFS:
+                                off + g * C.SHORT_COEFFS + C.SHORT_SIZE]
+                         for g in range(C.N_SHORT)], axis=1)
+        p = xpsy.rfft_power(subs * cst["hann"], np)
+        bt_, be_ = xpsy.block_thresholds(p, cst, full_psycho, np)
+        pe = xpsy.groups_pe(be_, bt_, cst["width"], np)
+        n = frames.shape[0]
+        return (bt_.reshape(n, -1).astype(np.float32),
+                be_.reshape(n, -1).astype(np.float32),
+                pe.astype(np.float32))
+
+    return jax.pure_callback(
+        host,
+        (jax.ShapeDtypeStruct((nf, nb), jnp.float32),
+         jax.ShapeDtypeStruct((nf, nb), jnp.float32),
+         jax.ShapeDtypeStruct((nf,), jnp.float32)),
+        fr, vmap_method="sequential")
+
+
+def _psy_family(fr, fs, long_block, full_psycho):
+    if jax.default_backend() == "tpu":
+        return _psy_family_jnp(fr, fs, long_block, full_psycho)
+    from .. import native
+    if jax.default_backend() == "cpu" and native.xpsy_ffi_registered():
+        return _psy_family_ffi(fr, fs, long_block, full_psycho)
+    return _psy_family_callback(fr, fs, long_block, full_psycho)
+
+
+def _band_energy(coeffs: jnp.ndarray, edges: tuple):
+    """Unified-layout MDCT band energies via the shared scan tree."""
+    if jax.default_backend() == "tpu":
+        from ..spec.psycho import mdct_band_energy
+        return mdct_band_energy(coeffs, np.asarray(edges), jnp)
+    from .. import native
+    if jax.default_backend() == "cpu" and native.xpsy_ffi_registered():
+        i32 = xpsy.band_energy_blob(edges)
+        nf = coeffs.shape[0]
+        call = jax.ffi.ffi_call(
+            "mrc_xpsy",
+            (jax.ShapeDtypeStruct((nf, len(edges) - 1), jnp.float32),
+             jax.ShapeDtypeStruct((nf, len(edges) - 1), jnp.float32),
+             jax.ShapeDtypeStruct((nf,), jnp.float32)),
+            vmap_method="broadcast_all")
+        e, _, _ = call(coeffs.astype(F32),
+                       jnp.zeros((1,), jnp.float32), jnp.asarray(i32),
+                       mode=2, full_psycho=0)
+        return e
+
+    def host(co):
+        from ..spec.psycho import mdct_band_energy
+        return mdct_band_energy(np.asarray(co, np.float32),
+                                np.asarray(edges)).astype(np.float32)
+
+    return jax.pure_callback(
+        host,
+        jax.ShapeDtypeStruct((coeffs.shape[0], len(edges) - 1), jnp.float32),
+        coeffs, vmap_method="sequential")
 
 
 def analyze(frames: jnp.ndarray, coeffs: jnp.ndarray, bt: jnp.ndarray,
             fs: int, full_psycho: bool = True):
     """Batched psycho -> (allowed[F,NB], pe[F], e_mdct[F,NB]); fixed-block
-    execution (ops/blocking.py) so thresholds are bit-identical for any
-    batch shape."""
+    execution (ops/blocking.py) so outputs are bit-identical for any
+    batch shape (and, rev 4, bit-identical to the spec on any backend)."""
     from .blocking import map_frame_blocks
     return map_frame_blocks(
         lambda f, c, b: _analyze_block(f, c, b, fs, full_psycho),
@@ -72,70 +175,67 @@ def analyze(frames: jnp.ndarray, coeffs: jnp.ndarray, bt: jnp.ndarray,
 
 def _analyze_block(frames: jnp.ndarray, coeffs: jnp.ndarray, bt: jnp.ndarray,
                    fs: int, full_psycho: bool = True):
-    """Batched psycho: -> (allowed[F, NB], pe[F]). Mirror of spec."""
+    """Batched psycho: -> (allowed[F, NB], pe[F], e_mdct[F, NB])."""
     lay = T.unified_layout(fs)
     nb = lay["nb"]
     fr = frames.astype(F32)
     nf = fr.shape[0]
 
-    # ---- long path
-    cl = _dev_const(fs, True)
-    spec_l = jnp.fft.rfft(fr * cl["hann"])
-    p_l = _power(spec_l, C.LONG_COEFFS)
-    t_l, e_l = _block_thresholds(p_l, cl, full_psycho)      # [F, nb_long]
-    pe_l = jnp.sum(cl["width"] * jnp.log2(
-        F32(1.0) + jnp.sqrt(e_l / (t_l + TINY))), axis=-1)
-    nb_long = cl["nb"]
+    t_l, e_l, pe_l = _psy_family(fr, fs, True, full_psycho)
+    nb_long = t_l.shape[-1]
     t_long = jnp.concatenate(
         [t_l, jnp.full((nf, nb - nb_long), F32(1e30))], axis=-1)
     e_long = jnp.concatenate(
         [e_l, jnp.zeros((nf, nb - nb_long), F32)], axis=-1)
 
-    # ---- short path (8 sub-FFTs)
-    cs = _dev_const(fs, False)
-    from .dsp import _short_subblocks
-    subs = _short_subblocks(fr) * cs["hann"][None, None, :]
-    p_s = _power(jnp.fft.rfft(subs), C.SHORT_COEFFS)        # [F, 8, 128]
-    t_s, e_s = _block_thresholds(p_s, cs, full_psycho)      # [F, 8, nbs]
-    pe_s = jnp.sum(cs["width"] * jnp.log2(
-        F32(1.0) + jnp.sqrt(e_s / (t_s + TINY))), axis=(-1, -2))
-    nshort = C.N_SHORT * cs["nb"]
+    t_s, e_s, pe_s = _psy_family(fr, fs, False, full_psycho)
+    nshort = t_s.shape[-1]
     t_short = jnp.concatenate(
-        [t_s.reshape(nf, nshort),
-         jnp.full((nf, nb - nshort), F32(1e30))], axis=-1)
+        [t_s, jnp.full((nf, nb - nshort), F32(1e30))], axis=-1)
     e_short = jnp.concatenate(
-        [e_s.reshape(nf, nshort), jnp.zeros((nf, nb - nshort), F32)], axis=-1)
+        [e_s, jnp.zeros((nf, nb - nshort), F32)], axis=-1)
 
     is_short = (bt == C.SHORT)
     t_full = jnp.where(is_short[:, None], t_short, t_long)
     e_full = jnp.where(is_short[:, None], e_short, e_long)
     pe = jnp.where(is_short, pe_s, pe_l).astype(F32)
 
-    smr = jnp.clip(e_full / (t_full + TINY), SMR_FLOOR, SMR_CEIL)
-    x2 = coeffs.astype(F32) ** 2
-    e_mdct = band_sum(x2, lay["band_mask"], bt)
-    allowed = e_mdct / smr
+    le, se = _unified_band_edges(fs)
+    em_long = _band_energy(coeffs.astype(F32), le)
+    em_short = _band_energy(coeffs.astype(F32), se)
+    e_mdct = jnp.where(is_short[:, None], em_short, em_long)
+    allowed = _allowed(e_mdct, e_full, t_full)
     return allowed.astype(F32), pe, e_mdct
 
 
-def band_sum(per_bin: jnp.ndarray, band_mask: np.ndarray,
-             bt: jnp.ndarray) -> jnp.ndarray:
-    """Float band sums [F, 1024] -> [F, NB] via per-type mask matmuls.
+def _allowed(e_mdct, e_full, t_full):
+    """Divide-free allowed-noise (xpsy.allowed_noise) with the usual
+    backend dispatch: jnp on TPU, FFI mode 3 on CPU (the xlog2/xexp2
+    Horner chains would contract on XLA:CPU), callback elsewhere."""
+    from .. import xpsy
+    if jax.default_backend() == "tpu":
+        return xpsy.allowed_noise(e_mdct, e_full, t_full, jnp)
+    from .. import native
+    if jax.default_backend() == "cpu" and native.xpsy_ffi_registered():
+        nf, nb = e_mdct.shape
+        stacked = jnp.stack([e_mdct, e_full, t_full]).astype(F32)
+        call = jax.ffi.ffi_call(
+            "mrc_xpsy",
+            (jax.ShapeDtypeStruct((nf, nb), jnp.float32),
+             jax.ShapeDtypeStruct((nf, nb), jnp.float32),
+             jax.ShapeDtypeStruct((nf,), jnp.float32)),
+            vmap_method="broadcast_all")
+        allowed, _, _ = call(stacked, jnp.zeros((1,), jnp.float32),
+                             jnp.zeros((1,), jnp.int32),
+                             mode=3, full_psycho=0)
+        return allowed
 
-    band_mask: [N_BLOCK_TYPES, 1024, NB] from tables.unified_layout. A
-    direct masked matmul per block type (then a select on bt) keeps the
-    reduction local to each band — a cumsum-at-edges difference would
-    cancel catastrophically for quiet bands riding on a loud frame total.
+    def host(em, ef, tf):
+        return xpsy.allowed_noise(np.asarray(em, np.float32),
+                                  np.asarray(ef, np.float32),
+                                  np.asarray(tf, np.float32),
+                                  np).astype(np.float32)
 
-    The per-frame combine is a branchless 0/1 select-accumulate, NOT a
-    gather: the take_along_axis formulation measured 18 ms/1024 frames on
-    v5e (vs <1 ms for the five dots) — TPU gathers are catastrophic. The
-    selected value is added to exact zeros, so results are bit-identical
-    to the gather form.
-    """
-    mask = jnp.asarray(band_mask)
-    out = jnp.zeros(per_bin.shape[:-1] + (mask.shape[-1],), per_bin.dtype)
-    for t in range(C.N_BLOCK_TYPES):
-        sel = (bt == t).astype(per_bin.dtype)[:, None]
-        out = out + sel * (per_bin @ mask[t])
-    return out
+    return jax.pure_callback(
+        host, jax.ShapeDtypeStruct(e_mdct.shape, jnp.float32),
+        e_mdct, e_full, t_full, vmap_method="sequential")

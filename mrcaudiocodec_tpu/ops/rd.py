@@ -229,20 +229,21 @@ def _rd_batch_block(coeffs, allowed, budgets, bt, fs):
     lay = T.unified_layout(fs)
     tb = entropy._dev_tables(fs)
     width = entropy._select_by_bt(tb["width"], bt)            # [F, NB]
-    # per-frame f32 mask kept ONLY for the noise reduction: its summation
-    # order must stay identical to the shipped conformance vectors
-    noise_mask = entropy._select_by_bt(lay["band_mask"],
-                                       bt).astype(jnp.bfloat16)
     budget_content = (budgets - C.FRAME_LEN_BITS - 7).astype(I32)
     nf, nb = coeffs.shape[0], lay["nb"]
     x = coeffs.astype(F32)
+    is_short = (bt == C.SHORT)[:, None]
 
     def over_mask(gain, q, amp, amp_bin):
+        # noise band energies via the shared pinned scan tree (rev 4):
+        # bit-identical to spec.psycho.mdct_band_energy on every backend
+        # (the old bf16 mask-matmul had backend-private reduction order)
+        from .psycho import _band_energy, _unified_band_edges
         e_bin = _e_bin_for(gain[:, None], amp_bin)[:, 0]
         xhat = quantize.dequantize(q, e_bin)
-        err = (x - xhat) ** 2
-        noise = jnp.einsum("fi,fin->fn", err, noise_mask.astype(F32),
-                           precision=jax.lax.Precision.HIGHEST)
+        d = x - xhat
+        le, se = _unified_band_edges(fs)
+        noise = jnp.where(is_short, _band_energy(d, se), _band_energy(d, le))
         return (noise > allowed) & (width > 0) & (amp < C.AMP_MAX)
 
     amp = jnp.zeros((nf, nb), I32)

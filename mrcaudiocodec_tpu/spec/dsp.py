@@ -48,28 +48,25 @@ def overlap_add(frames_out: np.ndarray, n_samples: int) -> np.ndarray:
 # Transient detection + block types (R5)
 # ---------------------------------------------------------------------------
 
-ATTACK_RATIO = F32(10.0)
-ATTACK_ABS = F32(1e-4)
-ATTACK_EPS = F32(1e-12)
-N_SUB = 16  # 128-sample sub-blocks per frame
+# Normative constants + pinned arithmetic live in xpsy (rev 4): the same
+# fixed-IEEE-sequence code runs here (NumPy), on the TPU (jnp) and in the
+# native CPU kernel, so attack flags are bit-identical on every backend.
+from .. import xpsy as _xpsy
+
+ATTACK_RATIO = _xpsy.ATTACK_RATIO
+ATTACK_ABS = _xpsy.ATTACK_ABS
+ATTACK_EPS = _xpsy.ATTACK_EPS
+N_SUB = _xpsy.N_SUB
 
 
 def detect_transients(frames: np.ndarray) -> np.ndarray:
     """[F, 2048] -> [F] bool. High-passed sub-block energy attack test.
 
-    Normative: all arithmetic in float32. d = first difference within the
-    frame; e[i] = sum of d^2 over 128-sample sub-block i; attack iff
-    e[i] > 10 * prefix_mean(e)[i] and e[i] > 1e-4, for any i >= 1.
+    Normative rev 4: the shared pinned sequence (xpsy.transient_detect) —
+    segmented scan-tree sub-block energies, ladder prefix sums, EPS
+    folded into the numerator so no multiply feeds an add.
     """
-    fr = np.asarray(frames, dtype=F32)
-    d = np.zeros_like(fr)
-    d[:, 1:] = fr[:, 1:] - fr[:, :-1]
-    e = (d.reshape(fr.shape[0], N_SUB, -1).astype(F32) ** 2).sum(axis=2, dtype=F32)
-    csum = np.cumsum(e, axis=1, dtype=F32)
-    i = np.arange(1, N_SUB, dtype=F32)
-    prefix_mean = csum[:, :-1] / i[None, :] + ATTACK_EPS
-    attack = (e[:, 1:] > ATTACK_RATIO * prefix_mean) & (e[:, 1:] > ATTACK_ABS)
-    return attack.any(axis=1)
+    return _xpsy.transient_detect(np.asarray(frames, dtype=F32), np)
 
 
 def block_types(transient: np.ndarray, window_switching: bool) -> np.ndarray:

@@ -107,8 +107,9 @@ def rd_frame(x, allowed, budget_bits: int, block_type: int, fs: int):
                                                lay, block_type)
         e_band = np.clip(gain - amp, C.GAIN_MIN, C.GAIN_MAX)
         xhat = quantize.dequantize(q, e_band[bin_band])
-        err = (x.astype(F32) - xhat) ** 2
-        noise = entropy.band_reduce(err.astype(F32), edges)
+        # noise band energies via the shared pinned scan tree (rev 4)
+        from .psycho import mdct_band_energy
+        noise = mdct_band_energy((x.astype(F32) - xhat), edges)
         over = (noise > allowed) & (width > 0) & (amp < C.AMP_MAX)
         if it == C.OUTER_MAX - 1 or not over.any():
             break

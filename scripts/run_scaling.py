@@ -36,10 +36,21 @@ def main():
     args = ap.parse_args()
 
     assert jax.device_count() == 8, jax.devices()
-    out = {"backend": "cpu-virtual", "devices": 8,
-           "seconds_per_clip": args.seconds, "clips": args.clips}
+    out = {
+        "backend": "cpu-virtual", "devices": 8,
+        "seconds_per_clip": args.seconds, "clips": args.clips,
+        "note": ("8 virtual devices SHARE one CPU's cores, so frames/s "
+                 "cannot scale with device count here; the meaningful "
+                 "number is spmd_efficiency = wall(1 device) / wall(8-way "
+                 "sharded) at CONSTANT total work — 1.0 means the "
+                 "partitioned program (halo ppermute, reservoir "
+                 "all_gather, sharded layouts) adds zero overhead over "
+                 "the single-device program, which is what transfers to "
+                 "real multi-chip ICI scaling."),
+    }
     for label, n_seq in (("dp_8x1", 1), ("mixed_2x4", 4)):
         r = scaling_bench(args.seconds, args.clips, 128000, n_seq=n_seq)
+        r["spmd_efficiency"] = r["1dev"]["wall_s"] / r["all"]["wall_s"]
         out[label] = r
         print(label, json.dumps(r), flush=True)
     path = f"SCALING_r{args.round:02d}.json"

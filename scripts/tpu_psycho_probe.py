@@ -1,105 +1,105 @@
-"""Stage-level timing of the analysis executable on the real TPU: where do
-the ~19 ms/1024-frames go? (bench.py --kernels; VERDICT r1 #8)
+"""On-HARDWARE bitwise check of the rev-4 psycho chain (xpsy.py): the jnp
+instantiation on the TPU must equal the NumPy spec EXACTLY — the same
+property scripts/tpu_xmath_probe.py establishes for the MDCT.
 
     python scripts/tpu_psycho_probe.py
+
+Checks, per family (long/short) and for full_psycho on/off:
+  band_t / band_e / pe bitwise vs NumPy, plus the unified-layout MDCT
+  band energies, plus the end-to-end _analyze_block outputs.
 """
 import sys
-import time
-
-import numpy as np
-
-import jax
-import jax.numpy as jnp
 
 sys.path.insert(0, ".")
-from mrcaudiocodec_tpu import config as C                   # noqa: E402
-from mrcaudiocodec_tpu import tables as T                   # noqa: E402
-from mrcaudiocodec_tpu.ops import dsp, psycho               # noqa: E402
-from mrcaudiocodec_tpu.ops.psycho import (_dev_const, _power,  # noqa: E402
-                                          _block_thresholds, band_sum)
+
+import numpy as np  # noqa: E402
+
+from mrcaudiocodec_tpu import config as C  # noqa: E402
+from mrcaudiocodec_tpu import tables as T  # noqa: E402
+from mrcaudiocodec_tpu import xpsy  # noqa: E402
 
 
-def sync(o):
-    np.asarray(jax.tree.leaves(o)[0].ravel()[:1])
+def bits(a):
+    return np.asarray(a, np.float32).view(np.int32)
 
 
-def bench(fn, n=10):
-    sync(fn())
-    t0 = time.perf_counter()
-    for _ in range(n):
-        o = fn()
-    sync(o)
-    return (time.perf_counter() - t0) / n
+def cmp(name, got, ref):
+    got, ref = np.asarray(got), np.asarray(ref)
+    eq = np.array_equal(bits(got), bits(ref))
+    if eq:
+        print(f"  {name}: bitwise EQUAL")
+    else:
+        d = bits(got).astype(np.int64) - bits(ref).astype(np.int64)
+        nd = int((d != 0).sum())
+        print(f"  {name}: {nd}/{d.size} differ, max ulp {np.abs(d).max()}")
+    return eq
 
 
 def main():
+    import jax
+    import jax.numpy as jnp
+    import mrcaudiocodec_tpu.models  # noqa: F401 (persistent compile cache)
+    from mrcaudiocodec_tpu.ops import psycho as opsy
+
     print("devices:", jax.devices(), flush=True)
-    nf, fs = 1024, 44100
-    rng = np.random.default_rng(0)
-    fr = jnp.asarray((0.3 * rng.standard_normal((nf, C.LONG_SIZE))
-                      ).astype(np.float32))
-    bt = jnp.asarray(rng.integers(0, 5, nf).astype(np.int32))
-    coeffs = dsp.analyze(fr, bt)
-    cl = _dev_const(fs, True)
-    cs = _dev_const(fs, False)
-
-    stages = {}
-
-    f_mdct = jax.jit(lambda f, b: dsp.analyze(f, b))
-    stages["mdct_xla"] = bench(lambda: f_mdct(fr, bt))
-
-    f_fftl = jax.jit(lambda f: _power(jnp.fft.rfft(f * cl["hann"]),
-                                      C.LONG_COEFFS))
-    stages["fft_long"] = bench(lambda: f_fftl(fr))
-    p_l = f_fftl(fr)
-
-    def short_p(f):
-        subs = dsp._short_subblocks(f) * cs["hann"][None, None, :]
-        return _power(jnp.fft.rfft(subs), C.SHORT_COEFFS)
-    f_ffts = jax.jit(short_p)
-    stages["fft_short"] = bench(lambda: f_ffts(fr))
-    p_s = f_ffts(fr)
-
-    f_thl = jax.jit(lambda p: _block_thresholds(p, cl, True))
-    stages["thresholds_long"] = bench(lambda: f_thl(p_l))
-    f_ths = jax.jit(lambda p: _block_thresholds(p, cs, True))
-    stages["thresholds_short"] = bench(lambda: f_ths(p_s))
+    assert jax.default_backend() == "tpu", "run on the TPU"
+    rng = np.random.default_rng(7)
+    nf = 256
+    frames = (0.4 * rng.standard_normal((nf, C.LONG_SIZE))).astype(np.float32)
+    coeffs = rng.standard_normal((nf, C.LONG_COEFFS)).astype(np.float32)
+    ok = True
+    fs = 44100
+    for full in (True, False):
+        for long_block in (True, False):
+            cst = xpsy.psy_tables(fs, long_block)
+            if long_block:
+                p = xpsy.rfft_power(frames * cst["hann"], np)
+                bt_np, be_np = xpsy.block_thresholds(p, cst, full, np)
+                pe_np = xpsy.band_pe(be_np, bt_np, cst["width"], np)
+            else:
+                off = C.SHORT_OFFSET
+                subs = np.stack(
+                    [frames[:, off + g * C.SHORT_COEFFS:
+                            off + g * C.SHORT_COEFFS + C.SHORT_SIZE]
+                     for g in range(C.N_SHORT)], axis=1)
+                p = xpsy.rfft_power(subs * cst["hann"], np)
+                bt_np, be_np = xpsy.block_thresholds(p, cst, full, np)
+                pe_np = xpsy.groups_pe(be_np, bt_np, cst["width"], np)
+                bt_np = bt_np.reshape(nf, -1)
+                be_np = be_np.reshape(nf, -1)
+            fam = jax.jit(lambda fr: opsy._psy_family_jnp(
+                fr, fs, long_block, full))
+            t, e, pe = [np.asarray(v) for v in fam(jnp.asarray(frames))]
+            tag = f"{'long' if long_block else 'short'} full={full}"
+            print(tag, flush=True)
+            ok &= cmp("band_t", t, bt_np)
+            ok &= cmp("band_e", e, be_np)
+            ok &= cmp("pe", pe, pe_np)
 
     lay = T.unified_layout(fs)
-    f_bs = jax.jit(lambda c, b: band_sum(c.astype(jnp.float32) ** 2,
-                                         lay["band_mask"], b))
-    stages["band_sum_mdct"] = bench(lambda: f_bs(coeffs, bt))
+    from mrcaudiocodec_tpu.spec.psycho import mdct_band_energy
+    for btype in (C.LONG, C.SHORT):
+        edges = lay["edges"][btype]
+        ref = mdct_band_energy(coeffs, edges)
+        got = jax.jit(lambda c: opsy._band_energy(
+            c, tuple(int(v) for v in edges)))(jnp.asarray(coeffs))
+        ok &= cmp(f"band_energy bt={btype}", got, ref)
 
-    f_full = jax.jit(lambda f, c, b: psycho.analyze(f, c, b, fs, True))
-    stages["psycho_full"] = bench(lambda: f_full(fr, coeffs, bt))
-
-    # matmul-form DFT power spectrum (candidate rfft replacement)
-    k = np.arange(C.LONG_COEFFS)
-    n = np.arange(C.LONG_SIZE)
-    ang = 2 * np.pi * np.outer(n, k) / C.LONG_SIZE
-    ccos = jnp.asarray((np.cos(ang) * np.asarray(cl["hann"])[:, None]
-                        ).astype(np.float32))
-    csin = jnp.asarray((np.sin(ang) * np.asarray(cl["hann"])[:, None]
-                        ).astype(np.float32))
-
-    def dft_p(f):
-        re = jax.lax.dot_general(
-            f, ccos, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        im = jax.lax.dot_general(
-            f, csin, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        return re * re + im * im
-    f_dft = jax.jit(dft_p)
-    stages["dft_matmul_long"] = bench(lambda: f_dft(fr))
-    perr = np.abs(np.asarray(f_dft(fr)) - np.asarray(p_l)).max()
-    rel = perr / max(1e-9, float(np.asarray(p_l).max()))
-    print(f"dft-matmul power max|err| {perr:.3e} (rel {rel:.2e})", flush=True)
-
-    for name, t in stages.items():
-        print(f"{name}: {t*1e3:.2f} ms / {nf} frames", flush=True)
+    # end-to-end block vs spec per-frame
+    from mrcaudiocodec_tpu.spec import psycho as spsy
+    bt_arr = (rng.integers(0, 2, nf) * 2).astype(np.int32)   # LONG/SHORT mix
+    al_ref = np.zeros((nf, lay["nb"]), np.float32)
+    pe_ref = np.zeros(nf, np.float32)
+    for i in range(nf):
+        al_ref[i], pe_ref[i], _ = spsy.analyze_frame(
+            frames[i], coeffs[i], int(bt_arr[i]), fs, True)
+    al, pe2, _ = jax.jit(
+        lambda f, c, b: opsy._analyze_block(f, c, b, fs, True))(
+        jnp.asarray(frames), jnp.asarray(coeffs), jnp.asarray(bt_arr))
+    ok &= cmp("allowed (end-to-end)", al, al_ref)
+    ok &= cmp("pe (end-to-end)", pe2, pe_ref)
+    print("ALL BITWISE EQUAL" if ok else "DIVERGENCE — see above", flush=True)
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":
