@@ -84,7 +84,8 @@ inline float xlog2f(float x) {
 }
 
 inline float xexp2f(float x) {
-  float rn = (x + kRN_MAGIC) - kRN_MAGIC;
+  // roundToNearestEven — exactly defined, matches np.rint / lax.round
+  const float rn = std::nearbyintf(x);
   int32_t k = int32_t(rn);
   if (k < -126) k = -126;
   if (k > 126) k = 126;

@@ -153,12 +153,18 @@ def xsqrt(x, xp):
 def xexp2(x, xp):
     """Normative 2^x for f32 inputs in the psycho range (|x| < 126).
 
-    k = round-to-nearest-even(x) via the 1.5*2^23 magic add (single
-    rounding); f = x - k is EXACT (both are multiples of ulp(x) and the
-    difference is < 1); 2^f = exp(f*ln2) by Taylor-Horner (7 terms,
-    truncation < 6e-9); scale by 2^k via integer bitcast (exact).
+    k = roundToNearestEven(x) — an EXACTLY-DEFINED integral-valued op
+    (np.rint / lax.round TO_NEAREST_EVEN / C nearbyintf), identical on
+    every backend. (The classic 1.5*2^23 magic-add trick is NOT usable:
+    XLA:TPU's algebraic simplifier folds (x + c) - c back to x —
+    measured.) f = x - k is exact; 2^f = exp(f*ln2) by Taylor-Horner
+    (7 terms, truncation < 6e-9); scale by 2^k via integer bitcast.
     """
-    rn = (x + _RN_MAGIC) - _RN_MAGIC
+    if _is_np(xp):
+        rn = np.rint(x)
+    else:
+        import jax
+        rn = jax.lax.round(x, jax.lax.RoundingMethod.TO_NEAREST_EVEN)
     k = rn.astype(xp.int32)
     k = xp.clip(k, -126, 126)
     f = x - k.astype(xp.float32)
