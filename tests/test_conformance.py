@@ -70,23 +70,16 @@ def test_tpu_path_bit_exact(name, fs, channels, bitrate, kw):
     bs_spec = scodec.encode(x, cfg)
     bs_tpu = tcodec.encode(x, cfg)
     same, nf = frame_agreement(bs_spec, bs_tpu)
-    # The contract: identical rate decisions => identical bitstream. On the
-    # CPU backend both engines' decision arithmetic is identical, so every
-    # frame must match and the streams must be byte-equal. On the real TPU
-    # (MRC_TESTS_KEEP_TPU=1): post-xmath the MDCT is bitwise-identical on
-    # hardware, and 4/5 conformance configs are byte-equal (v5e regen
-    # 2026-08-20, TPU_CONFORMANCE.json); the residual is the PSYCHO model
-    # (bf16x6-HIGHEST matmuls + backend transcendentals) whose f32 ulps
-    # flipped floor(pe) -> one budget -> one record on g3 (67/68 — see
-    # scripts/tpu_g3_probe.py for the stage-by-stage evidence). Demand
-    # >= 98% per config on hardware until the psycho chain is pinned the
-    # way the MDCT was.
-    import os
-    if os.environ.get("MRC_TESTS_KEEP_TPU"):
-        assert same / nf >= 0.98, f"{name}: only {same}/{nf} frames identical"
-    else:
-        assert same == nf, f"{name}: only {same}/{nf} frames identical"
-        assert bs_spec == bs_tpu
+    # The contract: BYTE EQUALITY on every backend, no floor. Rev 4
+    # (docs/FORMAT.md, DESIGN.md §4c) made the entire encoder's decision
+    # arithmetic a fixed sequence of correctly-rounded-everywhere ops, so
+    # spec == engine holds bitwise on CPU and on the real TPU alike —
+    # verified on v5e hardware 2026-08-20: TPU_CONFORMANCE.json records
+    # 5/5 configs byte_equal, total_agreement 1.0 (the pre-rev-4 residual
+    # was psycho ulps through TPU's non-correctly-rounded divide/sqrt —
+    # scripts/tpu_g3_probe.py, tpu_div_probe.py).
+    assert same == nf, f"{name}: only {same}/{nf} frames identical"
+    assert bs_spec == bs_tpu
 
 
 @pytest.mark.parametrize("direction", ["spec->tpu", "tpu->spec"])
