@@ -91,21 +91,30 @@ def kernel_roofline():
     dt_r = bench_fn(lambda: _rd_chunk(co, al, bud, bt, fs))
 
     f = ENC_CHUNK
-    # analyze: dominant FLOPs = long+short DCT matmuls + FFTs + spreading
+    # MEASURED device duty cycles (jax.profiler trace, v5e 2026-08-20/21,
+    # scripts/tpu_profile.py + PROFILE_SUMMARY.json): per warm dispatch,
+    # the rd executable is ~92% device-busy (16.2 ms device / 17.7 ms
+    # wall) while analyze is ~35% (0.8-0.9 ms device / 2.4 ms wall) — and
+    # a WHOLE warm encode shows ~60 ms of top-level device spans inside a
+    # ~210 ms wall: the pipeline is dispatch-gap-bound on the tunnelled
+    # axon PJRT, not FLOP-bound. The analytic FLOP counts below are
+    # workload estimates for scale, not a utilization claim.
+    MEAS_DUTY_RD = 0.92
+    MEAS_DUTY_ANALYZE = 0.35
     mdct_flops = f * (2 * 1024 * 1024 + 8 * 2 * 128 * 128) * 2  # both paths
     fft_flops = f * (5 * 2048 * 11 + 8 * 5 * 256 * 8)
-    # RD: per candidate eval ~ quantize (pow) + masked-sum lookups + mask mm
-    # counted as the mask matmuls (MXU) which dominate arithmetically
     evals = 40 + 3 * 17                       # iter1 + ~3 refine iters
     rd_mm_flops = f * evals * (512 * 88 * 2 * 6 + 1024 * 88 * 2)
     peak = 197e12                              # v5e bf16 peak FLOPs/s
-    log(f"[kernels] analyze[{f}]: {dt_a*1e3:.1f} ms "
-        f"({f/dt_a:.0f} frames/s, ~{(mdct_flops+fft_flops)/dt_a/1e12:.2f} "
-        f"TFLOP/s, {((mdct_flops+fft_flops)/dt_a)/peak*100:.1f}% of bf16 peak)")
-    log(f"[kernels] rd[{f}]: {dt_r*1e3:.1f} ms "
-        f"({f/dt_r:.0f} frames/s, ~{rd_mm_flops/dt_r/1e12:.2f} TFLOP/s "
-        f"mask-matmul work, {(rd_mm_flops/dt_r)/peak*100:.1f}% of bf16 peak)")
-    # HBM roofline for analyze: bytes ~ frames in + coeffs/allowed out
+    log(f"[kernels] analyze[{f}]: {dt_a*1e3:.1f} ms wall "
+        f"(~{dt_a*MEAS_DUTY_ANALYZE*1e3:.1f} ms device at measured "
+        f"{MEAS_DUTY_ANALYZE:.0%} duty; {f/dt_a:.0f} frames/s, "
+        f"~{(mdct_flops+fft_flops)/dt_a/1e12:.2f} TFLOP/s est)")
+    log(f"[kernels] rd[{f}]: {dt_r*1e3:.1f} ms wall "
+        f"(~{dt_r*MEAS_DUTY_RD*1e3:.1f} ms device at measured "
+        f"{MEAS_DUTY_RD:.0%} duty; {f/dt_r:.0f} frames/s, "
+        f"~{rd_mm_flops/dt_r/1e12:.2f} TFLOP/s est, "
+        f"{(rd_mm_flops/dt_r)/peak*100:.1f}% of bf16 peak)")
     bytes_a = f * (2048 * 4 + 1024 * 4 + 88 * 4 * 2)
     log(f"[kernels] analyze HBM traffic ~{bytes_a/1e6:.1f} MB "
         f"-> {bytes_a/dt_a/1e9:.0f} GB/s of ~820 GB/s v5e HBM")

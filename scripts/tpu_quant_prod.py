@@ -71,6 +71,11 @@ def full_encode():
     streams = {}
     for flag in ("0", "1"):
         os.environ["MRC_PALLAS_QUANT"] = flag
+        # the flag is read at TRACE time inside cached jits, so the cache
+        # MUST be dropped between settings or the second leg silently
+        # re-runs the first flag's executable (ADVICE r3 #2 — the old
+        # artifact's 'byte-identical' was vacuous for exactly that reason)
+        jax.clear_caches()
         bs = encoder.encode(x, cfg)         # warm-up/compile
         t0 = time.perf_counter()
         for _ in range(3):
