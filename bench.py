@@ -163,8 +163,11 @@ def main():
     bs_warm = tcodec.encode(xi, cfg)
     warm_dt = time.perf_counter() - t0
     log(f"tpu encode warm-up (incl. compile): {warm_dt:.2f}s")
+    # the tunnelled PJRT's H2D throughput varies a lot run-to-run
+    # (measured 25-50 MB/s with occasional stalls); 8 trials + best-of is
+    # the steady-state metric, robust to transient tunnel congestion
     best = 1e30
-    for _ in range(3):
+    for _ in range(8):
         t0 = time.perf_counter()
         bs = tcodec.encode(xi, cfg)
         best = min(best, time.perf_counter() - t0)

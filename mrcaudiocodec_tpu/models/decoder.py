@@ -24,46 +24,6 @@ import os as _os
 DEC_CHUNK = int(_os.environ.get("MRC_DEC_CHUNK", 1024))
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "window", "pcm16"))
-def _synth_chunk(q, e_band, bt, carry_in, fs, window, pcm16):
-    """[R,CHUNK,1024] i16 q + [R,CHUNK,NB] i16 exponents + [R,CHUNK] i8
-    types + [R,HOP] f32 seam carries -> (pcm [R,CHUNK*HOP],
-    carry_out [R,HOP] f32). Rows are independent channels, decoded in one
-    dispatch (they fold into the frame batch axis for synthesis).
-
-    pcm is int16 (write-ready, rounded after all overlap-adds) when pcm16,
-    else float32. The seam between chunks stays in float via the carry.
-    """
-    with jax.default_matmul_precision("highest"):
-        from ..ops.entropy import _select_by_bt
-        lay = T.unified_layout(fs)
-        r, f = bt.shape
-        bt = bt.astype(jnp.int32).reshape(-1)
-        qf = q.reshape(r * f, -1)
-        ef = e_band.reshape(r * f, -1)
-        bin_mask = _select_by_bt(lay["band_mask"], bt).astype(jnp.bfloat16)
-        e_bin = jnp.einsum("fn,fin->fi", ef.astype(jnp.bfloat16),
-                           bin_mask,
-                           precision=jax.lax.Precision.DEFAULT,
-                           preferred_element_type=jnp.float32).astype(
-                               jnp.int32)
-        xhat = quantize.dequantize(qf.astype(jnp.int32), e_bin)
-        frames = dsp.synthesize(xhat, bt, window).reshape(
-            r, f, C.LONG_SIZE)                           # [R, CHUNK, 2048]
-        first = frames[:, :, :C.HOP]
-        second = frames[:, :, C.HOP:]
-        y = jnp.concatenate(
-            [first, jnp.zeros((r, 1, C.HOP), jnp.float32)], axis=1)
-        y = y.at[:, 1:].add(second)
-        y = y.at[:, 0].add(carry_in)
-        flat = y.reshape(r, -1)
-        pcm, carry_out = flat[:, :-C.HOP], flat[:, -C.HOP:]
-        if pcm16:
-            pcm = jnp.clip(jnp.round(pcm * 32767.0), -32768, 32767).astype(
-                jnp.int16)
-        return pcm, carry_out
-
-
 def parse_records(data: bytes):
     """Parse every channel-frame record of an MRC1 stream on the host.
 
@@ -101,44 +61,88 @@ def parse_records(data: bytes):
     return q, e_band, bt
 
 
-def decode(data: bytes, pcm_dtype="float32"):
-    """MRC1 bytes -> (pcm [n, channels], cfg). TPU synthesis path.
+@functools.partial(jax.jit, static_argnames=("fs", "window", "pcm16"))
+def _synth_chunk(q, e_band, bt, fs, window, pcm16):
+    """One chunk's synthesis, carry-free: [R, s, 1024] i16 q + [R, s, NB]
+    i16 exps + [R, s] i8 types -> (pcm [R, s*HOP], first [R, HOP] f32,
+    tail [R, HOP] f32).
 
-    pcm_dtype="int16" returns write-ready 16-bit PCM (half the
-    device->host bytes; rounding happens on device after overlap-add)."""
+    pcm's first hop is computed WITHOUT the previous chunk's flush half
+    (chunks have no sequential dependency, so uploads/compute/downloads
+    of all chunks pipeline freely on the tunnel); the host rebuilds each
+    seam hop from `first + previous tail` — a single f32 add, bitwise
+    identical to a carry chain. With pcm16, pcm is write-ready int16
+    (quarter the D2H bytes of f32) and the host re-rounds only the HOP
+    seam samples."""
+    from ..ops.entropy import _select_by_bt
+    with jax.default_matmul_precision("highest"):
+        lay = T.unified_layout(fs)
+        r, f = bt.shape
+        btf = bt.astype(jnp.int32).reshape(-1)
+        qf = q.reshape(r * f, -1).astype(jnp.int32)
+        ef = e_band.reshape(r * f, -1)
+        bin_mask = _select_by_bt(lay["band_mask"], btf).astype(jnp.bfloat16)
+        e_bin = jnp.einsum("fn,fin->fi", ef.astype(jnp.bfloat16),
+                           bin_mask,
+                           precision=jax.lax.Precision.DEFAULT,
+                           preferred_element_type=jnp.float32).astype(
+                               jnp.int32)
+        xhat = quantize.dequantize(qf, e_bin)
+        frames = dsp.synthesize(xhat, btf, window).reshape(
+            r, f, C.LONG_SIZE)
+        first = frames[:, :, :C.HOP]
+        second = frames[:, :, C.HOP:]
+        prev = jnp.concatenate(
+            [jnp.zeros((r, 1, C.HOP), jnp.float32), second[:, :-1]], axis=1)
+        hops = first + prev
+        pcm = hops.reshape(r, f * C.HOP)
+        if pcm16:
+            pcm = jnp.clip(jnp.round(pcm * 32767.0), -32768, 32767).astype(
+                jnp.int16)
+        return pcm, hops[:, 0], second[:, -1]
+
+
+def decode(data: bytes, pcm_dtype="float32"):
+    """MRC1 bytes -> (pcm [n, channels], cfg). TPU synthesis path: native
+    parallel record parse + carry-free pipelined chunk synthesis."""
+    from .encoder import _chunk_schedule
+
     cfg, nf, n_samples, hdr_bits = spec_bitstream.read_header(data)
     nch = cfg.channels
     lay = T.unified_layout(cfg.fs)
     nb = lay["nb"]
     q, e_band, bt = parse_records(data)
-
-    # de-interleave records (f, ch) -> per channel [nf, ...]
-    q = q.reshape(nf, nch, -1)
-    e_band = e_band.reshape(nf, nch, -1)
-    bt = bt.reshape(nf, nch)
-
     pcm16 = (pcm_dtype == "int16")
-    from .encoder import _chunk_schedule
+
     sizes = _chunk_schedule(nf, DEC_CHUNK)
-    n_chunks = len(sizes)
     bounds = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
     nf_pad = int(bounds[-1])
     qc = np.zeros((nch, nf_pad, C.LONG_COEFFS), np.int16)
     ec = np.zeros((nch, nf_pad, nb), np.int16)
     bc = np.zeros((nch, nf_pad), np.int8)
-    qc[:, :nf] = np.swapaxes(q, 0, 1)
-    ec[:, :nf] = np.swapaxes(e_band, 0, 1)
-    bc[:, :nf] = bt.T
-    carry = jnp.zeros((nch, C.HOP), jnp.float32)
-    chunks_out = []
-    for c in range(n_chunks):        # all channels in one dispatch
+    qc[:, :nf] = np.swapaxes(q.reshape(nf, nch, -1), 0, 1)
+    ec[:, :nf] = np.swapaxes(e_band.reshape(nf, nch, -1), 0, 1)
+    bc[:, :nf] = bt.reshape(nf, nch).T
+
+    outs = []
+    for c in range(len(sizes)):      # async: all chunks pipeline
         sl = slice(int(bounds[c]), int(bounds[c + 1]))
-        pcm, carry = _synth_chunk(jnp.asarray(qc[:, sl]),
-                                  jnp.asarray(ec[:, sl]),
-                                  jnp.asarray(bc[:, sl]), carry,
-                                  cfg.fs, cfg.window, pcm16)
-        pcm.copy_to_host_async()
-        chunks_out.append(pcm)
-    P = np.concatenate([np.asarray(p) for p in chunks_out], axis=1)
-    out = np.ascontiguousarray(P[:, C.HOP:C.HOP + n_samples].T)
+        o = _synth_chunk(jnp.asarray(qc[:, sl]), jnp.asarray(ec[:, sl]),
+                         jnp.asarray(bc[:, sl]), cfg.fs, cfg.window, pcm16)
+        for a in o:
+            a.copy_to_host_async()
+        outs.append(o)
+    host = jax.device_get(outs)
+    pcms = [np.array(h[0]) for h in host]      # writable copies
+    firsts = [np.asarray(h[1]) for h in host]
+    tails = [np.asarray(h[2]) for h in host]
+    for c in range(1, len(pcms)):
+        seam = firsts[c] + tails[c - 1]        # single f32 add (exact seam)
+        if pcm16:
+            pcms[c][:, :C.HOP] = np.clip(np.round(seam * 32767.0),
+                                         -32768, 32767).astype(np.int16)
+        else:
+            pcms[c][:, :C.HOP] = seam
+    flat = np.concatenate(pcms, axis=1)
+    out = np.ascontiguousarray(flat[:, C.HOP:C.HOP + n_samples].T)
     return out, cfg

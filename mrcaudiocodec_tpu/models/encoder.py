@@ -191,7 +191,13 @@ def _padded_rows(x: np.ndarray, nf_pad: int):
 
 def _analyze_all(P, sizes, starts, nf, cfg):
     """Dispatch every chunk with all channel rows batched -> per-chunk
-    device tuples plus the [nch, nf_pad] budget matrix."""
+    device tuples plus the [nch, nf_pad] budget matrix.
+
+    Per-chunk uploads are ASYNC and overlap the previous chunk's compute
+    — load-bearing on the tunnelled PJRT, where H2D throughput
+    (~25-50 MB/s measured) makes the audio upload the encode's single
+    largest cost: a whole-clip mega-upload measured ~0.13 s SLOWER than
+    this pipelined form on the 30 s benchmark clip."""
     chunks = []
     for c in range(len(sizes)):
         lo = int(starts[c]) * C.HOP
@@ -235,10 +241,10 @@ def encode_arrays(x: np.ndarray, cfg: CodecConfig):
     host = jax.device_get(outs)
     _tlog(t0, "device_get done")
     dec = {}
-    for k, i in (("q", 0), ("amp", 1), ("gain", 2), ("bt", 3), ("cb", 4)):
-        arr = np.concatenate([host[c][i] for c in range(n_chunks)],
-                             axis=1)[:, :nf]
-        dec[k] = arr.astype(np.int32)
+    for key, i in (("q", 0), ("amp", 1), ("gain", 2), ("bt", 3), ("cb", 4)):
+        arr = np.concatenate([np.asarray(host[c][i])
+                              for c in range(n_chunks)], axis=1)[:, :nf]
+        dec[key] = arr.astype(np.int32)
     _tlog(t0, "decisions assembled")
     return dec, nf
 
@@ -264,11 +270,32 @@ def pack_stream(dec, nf: int, n_samples: int, cfg: CodecConfig) -> bytes:
 DEVICE_PACK = _os.environ.get("MRC_DEVICE_PACK", "1") != "0"
 
 
+@functools.partial(jax.jit, static_argnames=("fs", "cap"))
+def _rd_pack_chunk(coeffs, allowed, budgets, bt, fs, cap):
+    """Merged RD + codebook choice + on-device record packing: one
+    executable, one launch (launch latency on the tunnelled PJRT is the
+    encode's dominant cost — see bench.py kernel notes)."""
+    from ..ops.device_pack import pack_records_device
+    lead = coeffs.shape[:-1]
+    with jax.default_matmul_precision("highest"):
+        q, amp, gain, bits = rd.rd_batch(
+            coeffs.reshape(-1, coeffs.shape[-1]),
+            allowed.reshape(-1, allowed.shape[-1]),
+            budgets.reshape(-1).astype(jnp.int32), bt.reshape(-1), fs)
+        cb, _ = entropy.payload_costs_and_choice(q, bt.reshape(-1), fs)
+        rec, nbytes = pack_records_device(q, amp, gain, bt.reshape(-1),
+                                          cb, fs, cap)
+    return (rec.reshape(lead + rec.shape[1:]),
+            nbytes.reshape(lead))
+
+
 def encode_device_packed(x: np.ndarray, cfg: CodecConfig) -> bytes:
     """Fully device-side encode: the bitstream bytes themselves are built
     on the TPU (ops/device_pack.py); only ~compressed-size bytes cross back
-    to the host, which merely concatenates record runs."""
-    from ..ops.device_pack import pack_records_device, record_cap_bytes
+    to the host, which merely concatenates record runs. Per chunk: one
+    async upload, one analyze launch, one merged rd+pack launch — uploads
+    pipeline with compute (see _analyze_all)."""
+    from ..ops.device_pack import record_cap_bytes
 
     t0 = _time.perf_counter()
     n, nch = x.shape
@@ -284,12 +311,7 @@ def encode_device_packed(x: np.ndarray, cfg: CodecConfig) -> bytes:
     for c in range(n_chunks):
         bt, co, al, _ = chunks[c]
         b = budgets[:, int(starts[c]):int(starts[c + 1])]
-        q, amp, gain, bt8, cb, bits = _rd_chunk(co, al, b, bt, cfg.fs)
-        flat = lambda a: a.reshape((-1,) + a.shape[2:])
-        rec, nbytes = pack_records_device(flat(q), flat(amp), flat(gain),
-                                          flat(bt8), flat(cb), cfg.fs, cap)
-        rec = rec.reshape(nch, sizes[c], cap)
-        nbytes = nbytes.reshape(nch, sizes[c])
+        rec, nbytes = _rd_pack_chunk(co, al, b, bt, cfg.fs, cap)
         rec.copy_to_host_async()
         nbytes.copy_to_host_async()
         outs.append((rec, nbytes))
@@ -297,9 +319,10 @@ def encode_device_packed(x: np.ndarray, cfg: CodecConfig) -> bytes:
 
     host = jax.device_get(outs)
     _tlog(t0, "device_get done")
-    rec = np.concatenate([host[c][0] for c in range(n_chunks)],
+    rec = np.concatenate([np.asarray(host[c][0]) for c in range(n_chunks)],
                          axis=1)[:, :nf]            # [nch, nf, cap]
-    nbytes = np.concatenate([host[c][1] for c in range(n_chunks)],
+    nbytes = np.concatenate([np.asarray(host[c][1])
+                             for c in range(n_chunks)],
                             axis=1)[:, :nf].astype(np.int64)
     # channel-interleave record runs: order (f, ch)
     rec = np.swapaxes(rec, 0, 1).reshape(nf * nch, cap)

@@ -52,7 +52,6 @@ def spec_stages(x1, cfg):
 def engine_stages(x, cfg):
     """Mirror models/encoder.encode_arrays but keep intermediates."""
     import jax
-    import jax.numpy as jnp
 
     from mrcaudiocodec_tpu.models import encoder as enc
 
@@ -62,7 +61,7 @@ def engine_stages(x, cfg):
     starts = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
     P = enc._padded_rows(x, int(starts[-1]))
     chunks, budgets = enc._analyze_all(P, sizes, starts, nf, cfg)
-    bts, cos, als, pes = [], [], [], []
+    bts, cos, als = [], [], []
     outs = []
     for c in range(len(sizes)):
         bt, co, al, pe = chunks[c]
@@ -71,14 +70,13 @@ def engine_stages(x, cfg):
         bts.append(np.asarray(bt))
         cos.append(np.asarray(co))
         als.append(np.asarray(al))
-        pes.append(np.asarray(pe))
     host = jax.device_get(outs)
     cat = lambda xs: np.concatenate(xs, axis=1)[:, :nf]
-    res = dict(bt=cat(bts), coeffs=cat(cos), allowed=cat(als), pe=cat(pes),
+    res = dict(bt=cat(bts), coeffs=cat(cos), allowed=cat(als),
                budgets=np.asarray(budgets)[:, :nf],
-               q=cat([h[0] for h in host]).astype(np.int32),
-               amp=cat([h[1] for h in host]).astype(np.int32),
-               gain=cat([h[2] for h in host]).astype(np.int32))
+               q=cat([np.asarray(h[0]) for h in host]).astype(np.int32),
+               amp=cat([np.asarray(h[1]) for h in host]).astype(np.int32),
+               gain=cat([np.asarray(h[2]) for h in host]).astype(np.int32))
     return res, nf
 
 
@@ -92,7 +90,7 @@ def main():
     print(f"nf={nf}", flush=True)
     for ch in range(2):
         sp = spec_stages(x[:, ch], cfg)
-        for key in ("bt", "coeffs", "allowed", "pe", "budgets",
+        for key in ("bt", "coeffs", "allowed", "budgets",
                     "gain", "amp", "q"):
             a, b = sp[key], eng[key][ch]
             if a.shape != b.shape:
