@@ -33,8 +33,16 @@ def _build() -> str | None:
             return _SO
         except (FileNotFoundError, subprocess.CalledProcessError,
                 subprocess.TimeoutExpired):
+            _unlink_quiet(tmp)    # failed/timed-out attempt may leave output
             continue
     return None
+
+
+def _unlink_quiet(path: str) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
 
 
 @functools.lru_cache(maxsize=1)
@@ -61,32 +69,7 @@ _XSO = os.path.join(_DIR, f"mrc_xmath_{sys.implementation.cache_tag}.so")
 
 
 def _build_xmath() -> str | None:
-    if (os.path.exists(_XSO)
-            and os.path.getmtime(_XSO) >= os.path.getmtime(_XSRC)):
-        return _XSO
-    import jax.ffi
-    inc = jax.ffi.include_dir()
-    # -ffp-contract=off is LOAD-BEARING: GCC contracts mul+add to FMA by
-    # default even without -ffast-math, which would break the bit-exact
-    # IEEE-sequence contract this kernel exists to uphold.
-    # compile to a private temp path and os.replace() into place: several
-    # processes (multi-host launch, pytest-xdist) may race to build, and a
-    # reader must never CDLL a half-written .so (ADVICE r3 #4)
-    tmp = f"{_XSO}.tmp.{os.getpid()}"
-    for cxx in ("g++", "c++", "clang++"):
-        for extra in (["-fopenmp"], []):
-            try:
-                subprocess.run(
-                    [cxx, "-O3", "-std=c++17", "-shared", "-fPIC",
-                     "-ffp-contract=off", f"-I{inc}", *extra,
-                     _XSRC, "-o", tmp],
-                    check=True, capture_output=True, timeout=180)
-                os.replace(tmp, _XSO)
-                return _XSO
-            except (FileNotFoundError, subprocess.CalledProcessError,
-                    subprocess.TimeoutExpired):
-                continue
-    return None
+    return _build_ffi(_XSRC, _XSO)
 
 
 _PSRC = os.path.join(_DIR, "xpsy_ffi.cpp")
@@ -95,8 +78,11 @@ _PSO = os.path.join(_DIR, f"mrc_xpsy_{sys.implementation.cache_tag}.so")
 
 def _build_ffi(src: str, so: str) -> str | None:
     """Shared strict-IEEE FFI build: -ffp-contract=off is LOAD-BEARING
-    (GCC contracts mul+add to FMA even without -ffast-math); atomic
-    publish via temp + os.replace (concurrent builders race safely)."""
+    (GCC contracts mul+add to FMA by default even without -ffast-math,
+    which would break the bit-exact IEEE-sequence contract these kernels
+    exist to uphold). Compile to a private temp path and os.replace()
+    into place: several processes (multi-host launch, pytest-xdist) may
+    race to build, and a reader must never CDLL a half-written .so."""
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
         return so
     import jax.ffi
@@ -114,6 +100,7 @@ def _build_ffi(src: str, so: str) -> str | None:
                 return so
             except (FileNotFoundError, subprocess.CalledProcessError,
                     subprocess.TimeoutExpired):
+                _unlink_quiet(tmp)
                 continue
     return None
 

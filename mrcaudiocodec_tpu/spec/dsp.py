@@ -35,13 +35,23 @@ def frame_signal(x: np.ndarray) -> np.ndarray:
 
 
 def overlap_add(frames_out: np.ndarray, n_samples: int) -> np.ndarray:
-    """[F, LONG_SIZE] windowed synthesis frames -> [n_samples] float32."""
+    """[F, LONG_SIZE] windowed synthesis frames -> [n_samples] float32.
+
+    NORMATIVE rev 5: with 50% overlap exactly TWO frames touch every
+    output sample, so each hop of output is ONE correctly-rounded f32
+    add: y[f*HOP + i] = frames_out[f][i] + frames_out[f-1][HOP + i].
+    (Before rev 5 the spec accumulated in float64 and rounded once at
+    the end, which can double-round relative to the single f32 add the
+    engine's chunked decoder performs; pinning the add closes the last
+    spec-vs-engine tolerance — decoded PCM is bitwise identical across
+    engines, tests/test_conformance.py::test_tpu_decode_matches_spec_decode.)
+    """
+    frames_out = np.asarray(frames_out, dtype=F32)
     nf = frames_out.shape[0]
-    total = C.HOP + nf * C.HOP + C.HOP
-    y = np.zeros(total, dtype=np.float64)
-    for f in range(nf):
-        y[f * C.HOP:f * C.HOP + C.LONG_SIZE] += frames_out[f]
-    return y[C.HOP:C.HOP + n_samples].astype(F32)
+    first = np.vstack([frames_out[:, :C.HOP], np.zeros((1, C.HOP), F32)])
+    prev = np.vstack([np.zeros((1, C.HOP), F32), frames_out[:, C.HOP:]])
+    y = (first + prev).reshape(-1)        # [(nf+1)*HOP]; single adds
+    return y[C.HOP:C.HOP + n_samples].copy()
 
 
 # ---------------------------------------------------------------------------

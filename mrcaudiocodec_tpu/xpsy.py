@@ -53,16 +53,12 @@ TINY = F32(1e-20)
 
 # f32 roundings (from float64) of the derivation constants
 LN2 = F32(0.6931471805599453)
-LOG2E = F32(1.4426950408889634)
 LOG10_2 = F32(0.30102999566398120)
 LOG2_10 = F32(3.321928094887362)
 SQRT2 = F32(1.4142135623730951)
-# atanh series for log2(m) = r*(K0 + r2*(K1 + ...)), r = (m-1)/(m+1)
-_LOG2_K = tuple(F32(2.0 * 1.4426950408889634 / k) for k in (1, 3, 5, 7, 9))
 # exp(c) Taylor 1/k! k=0..7 (c = f*ln2, |c| <= 0.347)
 _EXP_K = tuple(F32(1.0 / v) for v in (5040.0, 720.0, 120.0, 24.0, 6.0,
                                       2.0, 1.0, 1.0))
-_RN_MAGIC = F32(12582912.0)          # 1.5 * 2^23: round-to-nearest-even
 
 
 def _is_np(xp):
@@ -232,9 +228,11 @@ def seg_sums(p, edges: tuple, xp, select=None):
     """[..., n] -> [..., S] per-segment sums (fixed-tree arithmetic).
 
     `select(scanned, ends) -> [..., S]` extracts each segment's last
-    element — pure data movement (no rounding), so backends may override
-    it (the TPU engine passes a one-hot-matmul selector; default is a
-    static fancy index, fine for NumPy and XLA:CPU)."""
+    element — pure data movement (no rounding), so backends MAY override
+    it. The default is a static fancy index; every current caller (NumPy
+    spec, XLA:CPU, and the TPU engine) uses the default — `ends` is a
+    compile-time-constant index vector, which XLA:TPU lowers without the
+    dynamic-gather penalty the removed band_sum path measured."""
     stages, ends = _seg_tables_from_edges(edges)
     s = seg_scan(p, stages, xp)
     if select is not None:
@@ -368,7 +366,6 @@ def psy_tables(fs: int, long_block: bool):
         "part_edges": part_edges,
         "band_edges": band_edges,
         "spread_rows": pt["spread"].astype(F32),         # [NP, NP]
-        "counts": counts.astype(F32),                    # [NP]
         "inv_counts": (1.0 / counts).astype(F32),        # [NP], f64->f32
         "ath_part": (pt["ath_energy"] * fs_sine_p).astype(F32),
         "pb_mask": (pb > 0),                             # [NP, nb]

@@ -58,6 +58,7 @@ CASES = [
     ("no_psycho", 44100, 1, 96000, dict(full_psycho=False)),
     ("no_reservoir", 44100, 1, 96000, dict(reservoir=False)),
     ("kbd_window", 44100, 1, 96000, dict(window="kbd")),
+    ("mono_32k_64k", 32000, 1, 64000, {}),
 ]
 
 
@@ -100,14 +101,19 @@ def test_cross_decode(direction):
 
 
 def test_tpu_decode_matches_spec_decode():
-    """Same stream -> both decoders produce near-identical PCM."""
+    """Same stream -> both decoders produce BITWISE identical PCM.
+
+    Rev 5 pinned the spec's overlap-add to the same single f32 hop-add
+    the engine's chunked decoder performs (spec/dsp.py overlap_add), so
+    the determinism story now runs through the decoder too — no
+    tolerance."""
     from mrcaudiocodec_tpu.models import codec as tcodec
     cfg = CodecConfig(fs=44100, channels=1, bitrate=96000)
     x = make_clip(44100, 0.5, 1)
     bs = scodec.encode(x, cfg)
     y_spec, _ = scodec.decode(bs)
     y_tpu, _ = tcodec.decode(bs)
-    assert np.abs(y_spec - y_tpu).max() < 1e-4
+    np.testing.assert_array_equal(y_spec, y_tpu)
 
 
 def test_quality_parity_with_spec():

@@ -40,6 +40,8 @@ GOLDEN = [
      "301dab67db619b02f1d8f219eba0e163e8942db0a30a3bdc60d6e57a3ea2d16e"),
     ("g4", 44100, 1, 96000, {'window_switching': False},
      "60122258716993c3f2c3861a9c39562d86208eb803c561655346900e69ce9dfe"),
+    ("g5_32k", 32000, 1, 64000, {},
+     "b8c763155cdb68e1af709e3fa79b4e5a47901196d790e5b9106d67097366907a"),
 ]
 
 

@@ -57,7 +57,7 @@ def test_decoder_uses_native_and_matches():
     data, cfg = _stream(channels=1, seed=3)
     y_spec, _ = scodec.decode(data)
     y_tpu, _ = tcodec.decode(data)
-    assert np.abs(y_spec - y_tpu).max() < 1e-4
+    np.testing.assert_array_equal(y_spec, y_tpu)   # bitwise since rev 5
 
 
 def test_native_decode_corrupt_stream_safe():
