@@ -43,6 +43,13 @@ def make_clip(fs: int, seconds: float, channels: int, seed=0):
     return x[:, None]
 
 
+def psnr(x, y):
+    """Peak SNR of decoded PCM (full-scale peak = 1.0) — BASELINE.json:5
+    names both 'segmental SNR / PSNR'; report both."""
+    mse = float(np.mean((np.asarray(x, np.float64) - y) ** 2))
+    return 10 * np.log10(1.0 / (mse + 1e-30))
+
+
 def segmental_snr(x, y, seg=1024):
     n = (len(x) // seg) * seg
     xs = x[:n].reshape(-1, seg)
@@ -163,14 +170,20 @@ def main():
     bs_warm = tcodec.encode(xi, cfg)
     warm_dt = time.perf_counter() - t0
     log(f"tpu encode warm-up (incl. compile): {warm_dt:.2f}s")
-    # the tunnelled PJRT's H2D throughput varies a lot run-to-run
-    # (measured 25-50 MB/s with occasional stalls); 8 trials + best-of is
-    # the steady-state metric, robust to transient tunnel congestion
-    best = 1e30
-    for _ in range(8):
+    # the tunnelled PJRT's H2D throughput varies a lot run-to-run (r5
+    # probes: the relay serializes every transfer, ~30 ms fixed cost per
+    # transfer + 25-60 MB/s marginal depending on tunnel state, and
+    # compresses on the wire); 16 trials + best-of is the steady-state
+    # metric, robust to transient tunnel congestion
+    trials = []
+    for _ in range(16):
         t0 = time.perf_counter()
         bs = tcodec.encode(xi, cfg)
-        best = min(best, time.perf_counter() - t0)
+        trials.append(time.perf_counter() - t0)
+    best = min(trials)
+    log(f"trial spread: best {best*1e3:.0f} ms, median "
+        f"{sorted(trials)[len(trials)//2]*1e3:.0f} ms, worst "
+        f"{max(trials)*1e3:.0f} ms")
     tpu_dt = best
     tpu_rtf = args.seconds / tpu_dt
     nf = int(np.ceil(x.shape[0] / 1024)) + 1
@@ -187,9 +200,12 @@ def main():
     y_spec_q, _ = scodec.decode(bs_spec)
     ssnr_tpu = segmental_snr(x_spec[:, 0], y_tpu_q[:, 0])
     ssnr_spec = segmental_snr(x_spec[:, 0], y_spec_q[:, 0])
+    psnr_tpu = psnr(x_spec, y_tpu_q)
+    psnr_spec = psnr(x_spec, y_spec_q)
     same_stream = bs_tpu_q == bs_spec
     log(f"quality ({args.spec_seconds}s clip @128 kbps): "
         f"segSNR tpu {ssnr_tpu:.2f} dB vs spec {ssnr_spec:.2f} dB; "
+        f"PSNR tpu {psnr_tpu:.2f} dB vs spec {psnr_spec:.2f} dB; "
         f"streams {'byte-identical' if same_stream else 'differ'}")
 
     if args.full:
@@ -207,6 +223,8 @@ def main():
         "seg_snr_db": round(ssnr_tpu, 2),
         "seg_snr_spec_db": round(ssnr_spec, 2),
         "seg_snr_vs_spec_db": round(ssnr_tpu - ssnr_spec, 2),
+        "psnr_db": round(psnr_tpu, 2),
+        "psnr_spec_db": round(psnr_spec, 2),
         "stream_matches_spec": same_stream,
     }))
 

@@ -18,29 +18,30 @@ F32 = np.float32
 
 
 def encode_channel(x: np.ndarray, cfg: CodecConfig):
-    """One channel [n] float32 -> per-frame records (content codes/lens)."""
+    """One channel [n] float32 -> per-frame records (content codes/lens).
+
+    Since rev 5 the per-frame stages run through the batched forms
+    (dsp.analyze_frames / psycho.analyze_frames / rd.rd_frames) — same
+    normative arithmetic, frames as rows — which keeps the spec codec
+    around realtime so the >=100x engine target has an honest denominator
+    (SURVEY.md §6). The per-frame functions remain the one-frame
+    reference definitions; tests/test_spec_batching.py asserts the two
+    forms are value-identical."""
     frames = dsp.frame_signal(x)
     nf = len(frames)
     tr = dsp.detect_transients(frames)
     bt = dsp.block_types(tr, cfg.window_switching)
-    lay = T.unified_layout(cfg.fs)
 
-    coeffs = np.zeros((nf, C.LONG_COEFFS), dtype=F32)
-    allowed = np.zeros((nf, lay["nb"]), dtype=F32)
-    pe = np.zeros(nf, dtype=F32)
-    for f in range(nf):
-        coeffs[f] = dsp.analyze_frame(frames[f], int(bt[f]), cfg.window)
-        allowed[f], pe[f], _ = psycho.analyze_frame(
-            frames[f], coeffs[f], int(bt[f]), cfg.fs, cfg.full_psycho)
-
+    coeffs = dsp.analyze_frames(frames, bt, cfg.window)
+    allowed, pe, _ = psycho.analyze_frames(frames, coeffs, bt, cfg.fs,
+                                           cfg.full_psycho)
     budgets = reservoir.allocate(pe, cfg)
+    q, amp, gain, _bits = rd.rd_frames(coeffs, allowed, budgets, bt, cfg.fs)
 
     records = []
     for f in range(nf):
-        q, amp, gain, bits = rd.rd_frame(coeffs[f], allowed[f],
-                                         int(budgets[f]), int(bt[f]), cfg.fs)
-        codes, lens = entropy.encode_frame_symbols(q, amp, gain, int(bt[f]),
-                                                   cfg.fs)
+        codes, lens = entropy.encode_frame_symbols(
+            q[f], amp[f], int(gain[f]), int(bt[f]), cfg.fs)
         records.append((codes, lens))
     return records, bt, budgets
 

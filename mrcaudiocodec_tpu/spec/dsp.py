@@ -167,6 +167,32 @@ def analyze_frame(frame: np.ndarray, block_type: int, window: str = "sine") -> n
     return mdct(subs * ws[None, :]).reshape(-1)
 
 
+def analyze_frames(frames: np.ndarray, bt: np.ndarray,
+                   window: str = "sine") -> np.ndarray:
+    """Batched analyze_frame: [F, 2048] + [F] block types -> [F, 1024].
+
+    Identical per-frame arithmetic (the normative mdct sequence operates
+    on the last axis only; the window multiply is elementwise), frames
+    grouped long-family vs SHORT. encode() uses this; analyze_frame stays
+    the one-frame reference definition (tests assert equality)."""
+    frames = np.asarray(frames, dtype=F32)
+    bt = np.asarray(bt)
+    out = np.zeros((len(frames), C.LONG_COEFFS), dtype=F32)
+    ns = np.where(bt != C.SHORT)[0]
+    if len(ns):
+        w = T.long_windows(window).astype(F32)           # [5, 2048]
+        out[ns] = mdct(frames[ns] * w[bt[ns]])
+    sh = np.where(bt == C.SHORT)[0]
+    if len(sh):
+        ws = T.short_window(window).astype(F32)
+        off = C.SHORT_OFFSET
+        idx = (off + np.arange(C.N_SHORT)[:, None] * C.SHORT_COEFFS
+               + np.arange(C.SHORT_SIZE)[None, :])       # [8, 256]
+        subs = frames[sh][:, idx]                        # [K, 8, 256]
+        out[sh] = mdct(subs * ws[None, None, :]).reshape(len(sh), -1)
+    return out
+
+
 def synthesize_frame(coeffs: np.ndarray, block_type: int, window: str = "sine") -> np.ndarray:
     """[1024] coefficients -> windowed synthesis frame [2048] for OLA."""
     if block_type != C.SHORT:

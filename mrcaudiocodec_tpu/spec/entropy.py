@@ -23,10 +23,21 @@ from __future__ import annotations
 
 import numpy as np
 
+import functools
+
 from .. import config as C
 from .. import tables as T
 
 BIG = np.int32(1 << 24)
+
+
+@functools.lru_cache(maxsize=1)
+def _len_tables_i32():
+    """int32 views of the codeword-length tables (all lengths fit int32;
+    int64 cost tensors doubled the RD sweep's memory traffic)."""
+    ca = T.code_arrays()
+    return {k: np.ascontiguousarray(ca[k], dtype=np.int32)
+            for k in ("len_small", "len_mid", "len_esc", "len_sf")}
 
 
 def _tuple_sym_small(q4: np.ndarray) -> np.ndarray:
@@ -47,7 +58,7 @@ def _pair_sym_esc(q2: np.ndarray) -> np.ndarray:
 
 def escape_bits(mag: np.ndarray) -> np.ndarray:
     """Escape suffix length per value (0 if |q| < ESC_MAG)."""
-    return T.escape_len(np.abs(mag)).astype(np.int64)
+    return T.escape_len(mag)           # int32 table lookup (sign-safe)
 
 
 def band_reduce(per_bin: np.ndarray, edges: np.ndarray, op=np.add) -> np.ndarray:
@@ -68,16 +79,16 @@ def payload_costs(q: np.ndarray, edges: np.ndarray):
       costs[..., 2] = CB_MID bits,   valid if band max |q| <= 4
       costs[..., 3] = CB_ESC bits,   always valid
     """
-    ca = T.code_arrays()
+    lt = _len_tables_i32()
     aq = np.abs(q)
 
     sym1 = _tuple_sym_small(np.clip(q, -1, 1).reshape(q.shape[:-1] + (-1, 4)))
-    bits1_t = ca["len_small"][sym1].astype(np.int64)            # per 4-tuple
+    bits1_t = np.take(lt["len_small"], sym1)                    # per 4-tuple
     sym2 = _pair_sym_mid(np.clip(q, -4, 4).reshape(q.shape[:-1] + (-1, 2)))
-    bits2_t = ca["len_mid"][sym2].astype(np.int64)              # per pair
+    bits2_t = np.take(lt["len_mid"], sym2)                      # per pair
     qp = q.reshape(q.shape[:-1] + (-1, 2))
     sym3 = _pair_sym_esc(qp)
-    bits3_t = (ca["len_esc"][sym3].astype(np.int64)
+    bits3_t = (np.take(lt["len_esc"], sym3)
                + (qp[..., 0] != 0) + (qp[..., 1] != 0)          # sign bits
                + escape_bits(qp[..., 0]) + escape_bits(qp[..., 1]))
 
@@ -125,12 +136,12 @@ def sf_delta_bits(amp: np.ndarray, width: np.ndarray) -> np.ndarray:
     amp_{-1} = 0 (i.e. band 0 delta is -amp_0 vs the global gain). Padding
     bands (width 0) are excluded from the chain.
     """
-    ca = T.code_arrays()
+    lt = _len_tables_i32()
     real = width > 0
     a = np.where(real, amp, 0)
     prev = np.concatenate([np.zeros_like(a[..., :1]), a[..., :-1]], axis=-1)
     delta = prev - a
-    bits = ca["len_sf"][delta + C.SF_DELTA_MAX].astype(np.int64)
+    bits = np.take(lt["len_sf"], delta + C.SF_DELTA_MAX)
     return np.where(real, bits, 0).sum(axis=-1)
 
 

@@ -109,3 +109,58 @@ def analyze_frame(frame: np.ndarray, coeffs: np.ndarray, block_type: int,
     e_mdct = mdct_band_energy(np.asarray(coeffs, F32), edges)
     allowed = xpsy.allowed_noise(e_mdct, e_full, t_full, np).astype(F32)
     return allowed, F32(pe), e_mdct
+
+
+def analyze_frames(frames: np.ndarray, coeffs: np.ndarray, bt: np.ndarray,
+                   fs: int, full_psycho: bool = True):
+    """Batched analyze_frame: [F, 2048] frames + [F, 1024] coeffs + [F]
+    block types -> (allowed[F, NB], pe[F], e_mdct[F, NB]).
+
+    Per-frame arithmetic is identical — every xpsy op works on the last
+    axis (or the trailing [8, nbs] group axes for shorts), so batching
+    rows cannot change any value; tests assert equality vs the per-frame
+    reference above."""
+    lay = T.unified_layout(fs)
+    nb = lay["nb"]
+    frames = np.asarray(frames, dtype=F32)
+    coeffs = np.asarray(coeffs, dtype=F32)
+    bt = np.asarray(bt)
+    nf = len(frames)
+    allowed = np.zeros((nf, nb), dtype=F32)
+    pe = np.zeros(nf, dtype=F32)
+    e_mdct = np.zeros((nf, nb), dtype=F32)
+
+    ns = np.where(bt != C.SHORT)[0]
+    if len(ns):
+        cst = xpsy.psy_tables(fs, True)
+        p = xpsy.rfft_power(frames[ns] * cst["hann"], np)
+        band_t, band_e = xpsy.block_thresholds(p, cst, full_psycho, np)
+        nb_real = cst["nb"]
+        t_full = np.full((len(ns), nb), F32(1e30))
+        e_full = np.zeros((len(ns), nb), dtype=F32)
+        t_full[:, :nb_real] = band_t
+        e_full[:, :nb_real] = band_e
+        pe[ns] = xpsy.band_pe(band_e, band_t, cst["width"], np)
+        em = mdct_band_energy(coeffs[ns], lay["edges"][C.LONG])
+        e_mdct[ns] = em
+        allowed[ns] = xpsy.allowed_noise(em, e_full, t_full, np).astype(F32)
+
+    sh = np.where(bt == C.SHORT)[0]
+    if len(sh):
+        cst = xpsy.psy_tables(fs, False)
+        nbs = cst["nb"]
+        off = C.SHORT_OFFSET
+        idx = (off + np.arange(C.N_SHORT)[:, None] * C.SHORT_COEFFS
+               + np.arange(C.SHORT_SIZE)[None, :])       # [8, 256]
+        subs = frames[sh][:, idx]                        # [K, 8, 256]
+        p = xpsy.rfft_power(subs * cst["hann"], np)      # [K, 8, 128]
+        band_t, band_e = xpsy.block_thresholds(p, cst, full_psycho, np)
+        t_full = np.full((len(sh), nb), F32(1e30))
+        e_full = np.zeros((len(sh), nb), dtype=F32)
+        t_full[:, :C.N_SHORT * nbs] = band_t.reshape(len(sh), -1)
+        e_full[:, :C.N_SHORT * nbs] = band_e.reshape(len(sh), -1)
+        pe[sh] = xpsy.groups_pe(band_e, band_t, cst["width"], np)
+        em = mdct_band_energy(coeffs[sh], lay["edges"][C.SHORT])
+        e_mdct[sh] = em
+        allowed[sh] = xpsy.allowed_noise(em, e_full, t_full, np).astype(F32)
+    return allowed, pe, e_mdct

@@ -45,21 +45,40 @@ def band_steps(e: np.ndarray) -> np.ndarray:
     return np.ldexp(STEP_FRAC[d & 3], d >> 2)   # frac * 2^k, both exact
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _inv_step_table() -> np.ndarray:
+    """[256] f32: inv_band_steps(e) precomputed for every legal exponent
+    (identical formula; the per-element ldexp was a spec hotspot)."""
+    d = np.arange(256, dtype=np.int32) - np.int32(C.GAIN_BIAS)
+    return np.ldexp(INV_STEP_FRAC[d & 3], -(d >> 2)).astype(F32)
+
+
 def inv_band_steps(e: np.ndarray) -> np.ndarray:
     """Per-band exponent -> 1/step as inv_frac * 2^-k (one rounded factor,
     one exact power of two)."""
-    d = np.asarray(e, dtype=np.int32) - np.int32(C.GAIN_BIAS)
-    return np.ldexp(INV_STEP_FRAC[d & 3], -(d >> 2))
+    return np.take(_inv_step_table(), np.asarray(e, dtype=np.int32),
+                   mode="clip")
 
 
 def quantize(x: np.ndarray, e_bin: np.ndarray) -> np.ndarray:
-    """Coefficients [..., 1024] + per-bin exponent -> int32 q values."""
+    """Coefficients [..., 1024] + per-bin exponent -> int32 q values.
+
+    In-place buffer reuse only — every rounded operation is the same
+    single IEEE op as the formula in the module docstring."""
     x = np.asarray(x, dtype=F32)
-    a = np.abs(x) * inv_band_steps(e_bin)
-    p = xpsy.xsqrt(a * xpsy.xsqrt(a, np), np)   # a^0.75, pinned
-    mag = np.floor(p + F32(C.QUANT_MAGIC))
-    mag = np.minimum(mag, F32(C.QMAX)).astype(np.int32)
-    return np.where(x < 0, -mag, mag).astype(np.int32)
+    a = np.abs(x) * inv_band_steps(e_bin)       # broadcasts x over gains
+    s = xpsy.xsqrt(a, np)
+    s *= a                                      # a * sqrt(a), in place
+    p = xpsy.xsqrt(s, np)                       # a^0.75, pinned
+    p += F32(C.QUANT_MAGIC)
+    np.floor(p, out=p)
+    np.minimum(p, F32(C.QMAX), out=p)
+    mag = p.astype(np.int32)
+    np.negative(mag, out=mag, where=(x < 0))    # sign apply, in place
+    return mag
 
 
 def dequantize(q: np.ndarray, e_bin: np.ndarray) -> np.ndarray:

@@ -466,18 +466,30 @@ def sf_codebook() -> Codebook:
                     signed=True)
 
 
+@functools.lru_cache(maxsize=1)
+def _escape_len_table() -> np.ndarray:
+    """[QMAX+1] int64 escape-suffix lengths, built once with the exact
+    integer formula (e = bit_length - 1 == floor(log2 m) for ints)."""
+    m = np.arange(C.QMAX + 1, dtype=np.int64)
+    e = np.zeros(C.QMAX + 1, dtype=np.int64)
+    v = np.maximum(m, 1)
+    while (v > 1).any():                      # e = floor(log2(m)), exact
+        big = v > 1
+        e += big
+        v = np.where(big, v >> 1, v)
+    return np.where(m >= C.ESC_MAG, 2 * e - 3, 0).astype(np.int32)
+
+
 def escape_len(mag: np.ndarray) -> np.ndarray:
     """Bits for the escape suffix of magnitudes >= ESC_MAG (0 otherwise).
 
     Escape coding for m >= 16: let e = floor(log2(m)) (e >= 4). Emit
     (e - 4) one bits, a zero bit, then e bits of (m - 2^e).
-    Total = 2e - 3 bits.
-    """
-    m = np.asarray(mag)
-    e = np.zeros(m.shape, dtype=np.int64)
-    mm = np.maximum(m, 1)
-    e = np.floor(np.log2(mm)).astype(np.int64)
-    return np.where(m >= C.ESC_MAG, 2 * e - 3, 0)
+    Total = 2e - 3 bits. Magnitudes are <= QMAX by the quantizer clamp,
+    so this is one table lookup (the former per-element np.log2 was a
+    spec-codec hotspot)."""
+    m = np.abs(np.asarray(mag))
+    return np.take(_escape_len_table(), m, mode="clip")
 
 
 @functools.lru_cache(maxsize=None)

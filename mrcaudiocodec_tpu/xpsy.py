@@ -106,6 +106,12 @@ def xlog2(x, xp):
     [sqrt2/2, sqrt2); log2(m) by a divide-free degree-12 Horner in
     t = m - 1 — every op a single correctly-rounded f32 mul/add.
     """
+    if _is_np(xp):
+        return _xlog2_np(x)          # same op sequence, in-place buffers
+    return _xlog2_generic(x, xp)
+
+
+def _xlog2_generic(x, xp):
     bits = _bitcast_i32(x, xp)
     e = (bits >> 23) - 127                               # int
     m = _bitcast_f32((bits & 0x007FFFFF) | 0x3F800000, xp)   # [1, 2)
@@ -119,6 +125,31 @@ def xlog2(x, xp):
     return e.astype(xp.float32) + p
 
 
+def _xlog2_np(x):
+    """NumPy fast path for xlog2: the IDENTICAL sequence of single-rounded
+    f32 ops as _xlog2_generic, evaluated with in-place buffers (the spec
+    codec is memory-traffic-bound in these Horner chains; values are
+    bitwise equal — tests/test_xpsy_fastpath.py)."""
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    bits = x.view(np.int32)
+    e = bits >> 23
+    e -= 127
+    mb = bits & np.int32(0x007FFFFF)
+    mb |= np.int32(0x3F800000)
+    m = mb.view(np.float32)
+    big = m >= SQRT2
+    np.multiply(m, F32(0.5), out=m, where=big)     # m*0.5 where big
+    np.add(e, big, out=e, casting="unsafe")        # e + 1 where big (0/1)
+    m -= F32(1.0)                                  # t = m - 1
+    p = m * _LOG2_P[-1]
+    p += _LOG2_P[-2]                               # Horner head
+    for c in _LOG2_P[-3::-1]:
+        p *= m
+        p += c
+    p += e.astype(np.float32)
+    return p
+
+
 def xsqrt(x, xp):
     """Normative sqrt for non-negative f32 inputs: even/odd exponent
     split (integer ops, exact), polynomial 1/sqrt start on m in [1, 4),
@@ -127,6 +158,12 @@ def xsqrt(x, xp):
     correctly rounded on TPU; this sequence is identical everywhere).
     Subnormal or zero inputs -> 0 (they floor to q == 0 downstream).
     """
+    if _is_np(xp):
+        return _xsqrt_np(x)          # same op sequence, in-place buffers
+    return _xsqrt_generic(x, xp)
+
+
+def _xsqrt_generic(x, xp):
     bits = _bitcast_i32(x, xp)
     eb = (bits >> 23) - 127
     odd = eb & 1
@@ -146,6 +183,42 @@ def xsqrt(x, xp):
     return xp.where(x < _MIN_NORMAL, F32(0.0), s * scale)
 
 
+def _xsqrt_np(x):
+    """NumPy fast path for xsqrt: the IDENTICAL op sequence as
+    _xsqrt_generic with in-place buffers ((-0.5)*h + 1.5 is the exact
+    IEEE equal of 1.5 - 0.5*h: negation is a sign-bit flip and
+    a + (-b) == a - b). Bitwise equality: tests/test_xpsy_fastpath.py."""
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    bits = x.view(np.int32)
+    eb = bits >> 23
+    eb -= 127
+    odd = eb & np.int32(1)
+    mb = bits & np.int32(0x007FFFFF)
+    mb |= np.int32(0x3F800000)
+    m = mb.view(np.float32)                                  # [1, 2)
+    np.multiply(m, F32(2.0), out=m, where=(odd == 1))        # [1, 4) exact
+    eb -= odd
+    eb >>= 1                                                 # e2
+    r = m * _RSQRT_P[-1]
+    r += _RSQRT_P[-2]                                        # Horner head
+    for c in _RSQRT_P[-3::-1]:
+        r *= m
+        r += c
+    h = np.empty_like(r)
+    for _ in range(2):
+        np.multiply(m, r, out=h)
+        h *= r
+        h *= F32(-0.5)
+        h += F32(1.5)                                        # w
+        r *= h
+    m *= r                                                   # s = m * r
+    eb += 127
+    eb <<= 23
+    m *= eb.view(np.float32)                                 # s * 2^(e/2)
+    np.copyto(m, F32(0.0), where=(x < _MIN_NORMAL))
+    return m
+
+
 def xexp2(x, xp):
     """Normative 2^x for f32 inputs in the psycho range (|x| < 126).
 
@@ -157,10 +230,9 @@ def xexp2(x, xp):
     (7 terms, truncation < 6e-9); scale by 2^k via integer bitcast.
     """
     if _is_np(xp):
-        rn = np.rint(x)
-    else:
-        import jax
-        rn = jax.lax.round(x, jax.lax.RoundingMethod.TO_NEAREST_EVEN)
+        return _xexp2_np(x)          # same op sequence, in-place buffers
+    import jax
+    rn = jax.lax.round(x, jax.lax.RoundingMethod.TO_NEAREST_EVEN)
     k = rn.astype(xp.int32)
     k = xp.clip(k, -126, 126)
     f = x - k.astype(xp.float32)
@@ -170,6 +242,37 @@ def xexp2(x, xp):
         p = p * c + kk
     scale = _bitcast_f32((k + 127) << 23, xp)
     return p * scale
+
+
+def _xexp2_generic_np(x):
+    """Reference form of the NumPy branch (kept for the bit-identity
+    test of the in-place fast path)."""
+    x = np.asarray(x, dtype=np.float32)
+    k = np.clip(np.rint(x).astype(np.int32), -126, 126)
+    f = x - k.astype(np.float32)
+    c = f * LN2
+    p = _EXP_K[0]
+    for kk in _EXP_K[1:]:
+        p = p * c + kk
+    return p * ((k + 127) << 23).view(np.float32)
+
+
+def _xexp2_np(x):
+    """NumPy fast path for xexp2: identical op sequence, in-place."""
+    x = np.asarray(x, dtype=np.float32)
+    k = np.rint(x).astype(np.int32)
+    np.clip(k, -126, 126, out=k)
+    f = x - k.astype(np.float32)
+    f *= LN2                                                 # c = f*ln2
+    p = f * _EXP_K[0]
+    p += _EXP_K[1]                                           # Horner head
+    for kk in _EXP_K[2:]:
+        p *= f
+        p += kk
+    k += 127
+    k <<= 23
+    p *= k.view(np.float32)
+    return p
 
 
 def xlog(x, xp):

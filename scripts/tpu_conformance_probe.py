@@ -23,8 +23,16 @@ CONFIGS = [
     ("g2_stereo_128", 44100, 2, 128000, {}),
     ("g3_48k_192", 48000, 2, 192000, {}),
     ("g4_no_switch", 44100, 1, 96000, {"window_switching": False}),
+    ("g5_32k_64", 32000, 1, 64000, {}),
     ("long_stereo_128_4s", 44100, 2, 128000, {}),
 ]
+
+
+def psnr_db(x, y):
+    """Peak SNR of decoded PCM vs source, full-scale peak = 1.0
+    (BASELINE.json:5 'segmental SNR / PSNR')."""
+    mse = float(np.mean((np.asarray(x, np.float64) - y) ** 2))
+    return 10 * np.log10(1.0 / (mse + 1e-30))
 
 
 def main():
@@ -41,12 +49,18 @@ def main():
         bs_tpu = tcodec.encode(x, cfg)
         same, nf = frame_agreement(bs_spec, bs_tpu)
         y, _ = tcodec.decode(bs_tpu)
+        y_spec, _ = scodec.decode(bs_spec)
         s = snr_db(x, y)
         byte_eq = bs_spec == bs_tpu
         results[name] = {"frames_identical": int(same), "frames": int(nf),
                          "agreement": round(same / nf, 5),
                          "byte_equal": bool(byte_eq),
-                         "decode_snr_db": round(float(s), 2)}
+                         "decode_snr_db": round(float(s), 2),
+                         "psnr_db": round(psnr_db(x, y), 2),
+                         "psnr_spec_db": round(psnr_db(x, y_spec), 2),
+                         "decode_bitwise_spec": bool(
+                             np.array_equal(np.asarray(y, np.float32),
+                                            y_spec))}
         total_same += same
         total_nf += nf
         print(f"{name}: {same}/{nf} frames identical, byte_equal={byte_eq}, "
