@@ -1,0 +1,88 @@
+"""Acceptance config 4 artifact (BASELINE.json:10, VERDICT r4 next-step 2):
+"Batch of 64 stereo clips encoded in parallel on one chip" — measured on
+the real TPU, with a byte-equality check of the batched streams against
+per-clip encodes.
+
+    python scripts/run_config4.py [--round 5] [--clips 64] [--seconds 10]
+
+Writes CONFIG4_r{N}.json at the repo root.
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=5)
+    ap.add_argument("--clips", type=int, default=64)
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--check-clips", type=int, default=8,
+                    help="clips byte-checked against per-clip encode here "
+                         "(all 64 are covered on the CPU backend by "
+                         "tests/test_corpus_parallel.py)")
+    ap.add_argument("--trials", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    from mrcaudiocodec_tpu.config import CodecConfig
+    from mrcaudiocodec_tpu.corpus import _synth_corpus, encode_batch
+    from mrcaudiocodec_tpu.models import codec as tcodec
+
+    print("devices:", jax.devices(), flush=True)
+    cfg = CodecConfig(fs=44100, channels=2, bitrate=128000)
+    clips = _synth_corpus(args.clips, args.seconds)
+
+    t0 = time.perf_counter()
+    streams = encode_batch(clips, cfg)          # compile + warm
+    warm = time.perf_counter() - t0
+    print(f"warm-up (incl. compile): {warm:.1f}s", flush=True)
+
+    walls = []
+    for _ in range(args.trials):
+        t0 = time.perf_counter()
+        streams = encode_batch(clips, cfg)
+        walls.append(time.perf_counter() - t0)
+        print(f"batch encode: {walls[-1]:.2f}s", flush=True)
+    dt = min(walls)
+
+    audio = args.clips * args.seconds
+    nf = (int(np.ceil(args.seconds * 44100 / 1024)) + 1)
+    frames = nf * 2 * args.clips                # channel-frames
+
+    checked = 0
+    for i in range(min(args.check_clips, args.clips)):
+        want = tcodec.encode(clips[i], cfg)
+        assert streams[i] == want, f"clip {i}: batch stream != per-clip"
+        checked += 1
+    print(f"{checked} clips byte-identical to per-clip encode", flush=True)
+
+    result = {
+        "config": "4: batch of 64 stereo 44.1 kHz clips, one chip",
+        "backend": str(jax.devices()[0]),
+        "clips": args.clips, "seconds_per_clip": args.seconds,
+        "audio_seconds": audio,
+        "wall_seconds_best": round(dt, 3),
+        "wall_seconds_all": [round(w, 3) for w in walls],
+        "realtime_factor": round(audio / dt, 1),
+        "frames_per_second": round(frames / dt, 0),
+        "clips_byte_checked_vs_per_clip": checked,
+        "byte_equal": True,
+        "note": ("tunnelled-PJRT wall includes the serialized H2D upload "
+                 "of the full raw batch; tests/test_corpus_parallel.py "
+                 "proves batch==per-clip byte equality for every clip on "
+                 "the CPU backend"),
+    }
+    path = f"CONFIG4_r{args.round:02d}.json"
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print("wrote", path, json.dumps(result)[:160])
+
+
+if __name__ == "__main__":
+    main()

@@ -26,11 +26,74 @@ COORD_PORT = 12739
 N_CLIPS = 10
 
 
+def scaling_main(args):
+    """Constant-work multi-process scaling (VERDICT r4 next-step 10):
+    the SAME 8-device global mesh and the SAME synthetic corpus run once
+    as ONE process owning all 8 virtual devices and once as TWO
+    jax.distributed processes owning 4 each — so the wall ratio isolates
+    the multi-process overhead (Gloo collectives, cross-process
+    dispatch) at constant global work and constant device count.
+    Writes MULTIHOST_SCALING_r{N}.json."""
+    common = ["scaling", "--seconds", str(args.seconds),
+              "--clips", "8", "--bitrate", "128", "--n-seq", "1"]
+    runs = {}
+    for tag, nprocs, devs in (("one_process", 1, 8), ("two_processes", 2, 4)):
+        env = dict(os.environ)
+        env["MRC_FORCE_CPU"] = "1"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={devs}").strip()
+        procs = []
+        for hid in range(nprocs):
+            cmd = [sys.executable, "-m", "mrcaudiocodec_tpu.parallel.launch",
+                   *common, "--num-hosts", str(nprocs),
+                   "--host-id", str(hid)]
+            if nprocs > 1:
+                cmd += ["--coordinator", f"127.0.0.1:{COORD_PORT + 1}"]
+            procs.append(subprocess.Popen(cmd, env=env,
+                                          stdout=subprocess.PIPE,
+                                          stderr=subprocess.PIPE, text=True))
+        outs = []
+        for hid, p in enumerate(procs):
+            out, err = p.communicate(timeout=900)
+            if p.returncode != 0:
+                sys.stderr.write(err)
+                raise SystemExit(f"{tag} host {hid} failed")
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+        walls = [o["all"]["wall_s"] for o in outs]
+        runs[tag] = {"processes": nprocs, "devices_per_process": devs,
+                     "global_devices": 8,
+                     "wall_s": max(walls),        # slowest process gates
+                     "per_process": outs}
+        print(tag, json.dumps(runs[tag]["wall_s"]), flush=True)
+    eff = runs["one_process"]["wall_s"] / runs["two_processes"]["wall_s"]
+    result = {
+        "backend": "cpu-virtual",
+        "methodology": ("constant total work, constant 8-device global "
+                        "mesh; one process owning 8 virtual devices vs "
+                        "two jax.distributed (Gloo) processes owning 4 "
+                        "each; efficiency = wall_1proc / wall_2proc "
+                        "(1.0 = zero multi-process overhead)"),
+        "multiprocess_efficiency": round(eff, 4),
+        **runs,
+    }
+    path = f"MULTIHOST_SCALING_r{args.round:02d}.json"
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print("wrote", path, json.dumps(result)[:200])
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=4)
+    ap.add_argument("--round", type=int, default=5)
     ap.add_argument("--seconds", type=float, default=0.6)
+    ap.add_argument("--mode", choices=["corpus", "scaling"],
+                    default="corpus")
     args = ap.parse_args()
+    if args.mode == "scaling":
+        if args.seconds == 0.6:
+            args.seconds = 6.0
+        return scaling_main(args)
 
     tmp = tempfile.mkdtemp(prefix="mrc_mh_")
     indir = os.path.join(tmp, "in")

@@ -30,15 +30,20 @@ from mrcaudiocodec_tpu.parallel.launch import scaling_bench  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=4)
-    ap.add_argument("--seconds", type=float, default=10.0)
-    ap.add_argument("--clips", type=int, default=16)
+    ap.add_argument("--round", type=int, default=5)
+    ap.add_argument("--seconds", type=float, default=24.0)
+    ap.add_argument("--clips", type=int, default=8)
     args = ap.parse_args()
 
     assert jax.device_count() == 8, jax.devices()
     out = {
         "backend": "cpu-virtual", "devices": 8,
         "seconds_per_clip": args.seconds, "clips": args.clips,
+        "note_alignment": ("clip lengths are slab-aligned so every shard owns a "
+                 "multiple of ops/blocking.DECISION_BLOCK frames; without "
+                 "this the fixed-slab padding (not the collectives) "
+                 "dominates and masquerades as SPMD overhead — see "
+                 "parallel/launch.scaling_bench docstring"),
         "note": ("8 virtual devices SHARE one CPU's cores, so frames/s "
                  "cannot scale with device count here; the meaningful "
                  "number is spmd_efficiency = wall(1 device) / wall(8-way "

@@ -24,3 +24,10 @@ if not os.environ.get("MRC_TESTS_KEEP_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu_hw: on-hardware kernel bit-equality checks "
+        "(MRC_TESTS_KEEP_TPU=1 pytest -m tpu_hw); skipped off-TPU")

@@ -34,7 +34,8 @@ def test_run_corpus_uses_all_devices_and_matches_per_clip(tmp_path):
     paths, clips = _write_corpus(str(indir), 9)   # 9 stereo = 18 rows
     stats = corpus.run_corpus(paths, str(outdir), {"bitrate": 128000})
     assert stats["encoded"] == 9
-    assert stats["devices"] == 8
+    assert stats["devices_local"] == 8
+    assert stats["devices_global"] == 8
     # grouped: 9 equal-shape clips flush as ONE mega-batch, not 9
     assert stats["batches"] == 1
 
