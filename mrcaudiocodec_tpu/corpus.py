@@ -109,9 +109,41 @@ def _encode_batch_fused(arrs: list[np.ndarray], cfg: CodecConfig) -> list[bytes]
             nf_row[i * nch + ch] = nf_list[i]
 
     mesh = pmesh.make_mesh(n_data, 1, devices=local[:n_data])
-    step = sharded_encode_step(mesh, cfg, nf, per_row_nf=True)
     xd = jax.device_put(jnp.asarray(xp), pmesh.seq_sharding(mesh))
     nd = jax.device_put(jnp.asarray(nf_row), pmesh.data_sharding(mesh))
+
+    from .models.encoder import DEVICE_PACK
+    if DEVICE_PACK:
+        # records built ON device (ops/device_pack inside the shard body):
+        # only ~compressed-size bytes cross back instead of the decision
+        # arrays (q alone is 2 kB/frame — the old download dominated the
+        # 64-clip config-4 wall on the tunnelled PJRT)
+        from .ops.device_pack import record_cap_bytes
+        cap = record_cap_bytes(cfg)
+        step = sharded_encode_step(mesh, cfg, nf, per_row_nf=True,
+                                   pack_cap=cap)
+        rec, nbytes = step(xd, nd)
+        rec.copy_to_host_async()
+        nbytes.copy_to_host_async()
+        rec = np.asarray(rec)
+        nbytes = np.asarray(nbytes).astype(np.int64)
+        from .native import _ranges
+        out = []
+        for i in range(len(arrs)):
+            rows_i = slice(i * nch, (i + 1) * nch)
+            nf_i, n_i = nf_list[i], n_list[i]
+            # record order (f, ch); drop silent tail-pad frames
+            r = np.swapaxes(rec[rows_i, :nf_i], 0, 1).reshape(
+                nf_i * nch, cap)
+            nb = np.swapaxes(nbytes[rows_i, :nf_i], 0, 1).reshape(
+                nf_i * nch)
+            idx = np.repeat(np.arange(nf_i * nch) * cap, nb) + _ranges(nb)
+            w = BitWriter()
+            write_header(w, cfg, nf_i, n_i)
+            out.append(w.getvalue() + r.reshape(-1)[idx].tobytes())
+        return out
+
+    step = sharded_encode_step(mesh, cfg, nf, per_row_nf=True)
     q, amp, gain, bt, bits, cb = step(xd, nd)
     for a in (q, amp, gain, bt, cb):
         a.copy_to_host_async()

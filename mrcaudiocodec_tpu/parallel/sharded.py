@@ -47,7 +47,8 @@ def _block_types_sharded(tr, tr_prev_last, tr_next_first, window_switching):
     return bt.astype(I32)
 
 
-def _shard_encode_body(xp, nf_row, cfg, total_frames: int, axis: str = "seq"):
+def _shard_encode_body(xp, nf_row, cfg, total_frames: int, axis: str = "seq",
+                       pack_cap: int | None = None):
     """Per-shard encode body (runs inside shard_map).
 
     xp: [B_loc, F_loc * HOP] — this shard's contiguous chunk of the padded
@@ -158,6 +159,16 @@ def _shard_encode_body(xp, nf_row, cfg, total_frames: int, axis: str = "seq"):
                                      budgets.astype(I32), bt, cfg.fs)
     cb, _ = entropy.payload_costs_and_choice(q, bt, cfg.fs)
     shp = (b_loc, f_loc)
+    if pack_cap is not None:
+        # build the record BYTES on device (ops/device_pack) so only
+        # ~compressed-size data crosses back — the fused corpus path's
+        # decision-array download (q alone is 2 kB/frame) dominated the
+        # config-4 wall on the tunnelled PJRT
+        from ..ops.device_pack import pack_records_device
+        rec, nbytes = pack_records_device(q, amp, gain, bt, cb, cfg.fs,
+                                          pack_cap)
+        return (rec.reshape(shp + (pack_cap,)),
+                nbytes.reshape(shp).astype(I32))
     return (q.reshape(shp + (-1,)).astype(jnp.int16),
             amp.reshape(shp + (-1,)).astype(jnp.int8),
             gain.reshape(shp).astype(jnp.int16),
@@ -263,7 +274,8 @@ def sharded_decode(data: bytes, mesh) -> tuple[np.ndarray, object]:
 
 
 def sharded_encode_step(mesh, cfg, total_frames: int,
-                        per_row_nf: bool = False):
+                        per_row_nf: bool = False,
+                        pack_cap: int | None = None):
     """Build the jitted sharded encode step for a ('data','seq') mesh.
 
     Input:  xp [n_clips, total_frames * HOP] float32 — padded signals
@@ -272,18 +284,25 @@ def sharded_encode_step(mesh, cfg, total_frames: int,
             nf_row [n_clips] int32 (each row's true frame count; rows are
             tail-padded with silence up to total_frames) so mixed-length
             clips share one executable with per-clip byte equality.
-    Output: per-frame decision arrays, sharded P('data', 'seq').
+    Output: per-frame decision arrays, sharded P('data', 'seq') — or,
+            with pack_cap set, the finished record bytes
+            (rec [B, F, cap] u8, nbytes [B, F] i32) built on device.
     """
     def body(xp, nf_row):
         with jax.default_matmul_precision("highest"):
             return _shard_encode_body(xp, nf_row, cfg=cfg,
-                                      total_frames=total_frames)
+                                      total_frames=total_frames,
+                                      pack_cap=pack_cap)
+    if pack_cap is not None:
+        out_specs = (P("data", "seq", None), P("data", "seq"))
+    else:
+        out_specs = (P("data", "seq", None), P("data", "seq", None),
+                     P("data", "seq"), P("data", "seq"), P("data", "seq"),
+                     P("data", "seq", None))
     sm = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P("data", "seq"), P("data")),
-        out_specs=(P("data", "seq", None), P("data", "seq", None),
-                   P("data", "seq"), P("data", "seq"), P("data", "seq"),
-                   P("data", "seq", None)),
+        out_specs=out_specs,
         check_vma=False)
     jitted = jax.jit(sm)
     if per_row_nf:

@@ -36,7 +36,10 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
     cfg = CodecConfig(fs=44100, channels=2, bitrate=128000)
-    clips = _synth_corpus(args.clips, args.seconds)
+    # 16-bit sources (the realistic input, same convention as bench.py):
+    # rides the upload + halo exchange as int16 — half the wire bytes
+    clips = [np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+             for x in _synth_corpus(args.clips, args.seconds)]
 
     t0 = time.perf_counter()
     streams = encode_batch(clips, cfg)          # compile + warm
