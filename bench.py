@@ -155,9 +155,12 @@ def main():
     # (bit-identical values — tests/test_int16_path.py).
     xi_spec = to_i16(make_clip(fs, args.spec_seconds, channels))
     x_spec = xi_spec.astype(np.float32) / np.float32(32768.0)
-    t0 = time.perf_counter()
-    bs_spec = scodec.encode(x_spec, cfg)
-    spec_dt = time.perf_counter() - t0
+    scodec.encode(x_spec[:fs], cfg)      # steady state: build table caches
+    spec_dt = 1e30
+    for _ in range(2):                   # best-of, like the engine trials
+        t0 = time.perf_counter()
+        bs_spec = scodec.encode(x_spec, cfg)
+        spec_dt = min(spec_dt, time.perf_counter() - t0)
     spec_rtf = args.spec_seconds / spec_dt
     log(f"spec-Python encode: {spec_dt:.2f}s for {args.spec_seconds}s "
         f"-> RTF {spec_rtf:.2f}x")

@@ -31,3 +31,7 @@ def pytest_configure(config):
         "markers",
         "tpu_hw: on-hardware kernel bit-equality checks "
         "(MRC_TESTS_KEEP_TPU=1 pytest -m tpu_hw); skipped off-TPU")
+    config.addinivalue_line(
+        "markers",
+        "devicepack: keeps MRC_DEVICE_PACK on (production default) for "
+        "tests that cover the on-device record packer end to end")
