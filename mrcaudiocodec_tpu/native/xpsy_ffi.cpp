@@ -26,7 +26,7 @@
 //         band_seg_start[h], band_ends[nb], pb_mask[npart*nb]
 // f32 blob (modes 0/1):
 //   hann[n], fft st_re[h-1], st_im[h-1], untwist cr[h], ci[h],
-//   spread[npart*npart], counts[npart], ath[npart], width[nb]
+//   spread[npart*npart], inv_counts[npart], ath[npart], width[nb]
 // i32 blob (mode 2): [0]=n, [1]=nb, [2]=stages, then seg_start[n],
 //   ends[nb] (clamped), width_pos[nb]; f32 blob unused.
 
