@@ -58,6 +58,42 @@ def main():
     nf = (int(np.ceil(args.seconds * 44100 / 1024)) + 1)
     frames = nf * 2 * args.clips                # channel-frames
 
+    # device-resident throughput: same fused step, inputs already in HBM
+    # (what a production host with real PCIe sees; excludes the tunnel)
+    import jax.numpy as jnp
+    from mrcaudiocodec_tpu import config as C
+    from mrcaudiocodec_tpu.corpus import FRAME_BUCKET
+    from mrcaudiocodec_tpu.models.encoder import DEVICE_PACK
+    from mrcaudiocodec_tpu.ops.device_pack import record_cap_bytes
+    from mrcaudiocodec_tpu.parallel import mesh as pmesh
+    from mrcaudiocodec_tpu.parallel.sharded import sharded_encode_step
+
+    nf_pad = -(-nf // FRAME_BUCKET) * FRAME_BUCKET
+    rows = args.clips * 2
+    xp = np.zeros((rows, nf_pad * C.HOP), np.int16)
+    for i, cl in enumerate(clips):
+        xp[2 * i:2 * i + 2, :cl.shape[0]] = cl.T
+    mesh = pmesh.make_mesh(1, 1, devices=jax.devices()[:1])
+    cap = record_cap_bytes(cfg) if DEVICE_PACK else None
+    step = sharded_encode_step(mesh, cfg, nf_pad, per_row_nf=True,
+                               pack_cap=cap)
+    xd = jax.device_put(jnp.asarray(xp), pmesh.seq_sharding(mesh))
+    ndv = jax.device_put(jnp.full((rows,), nf, jnp.int32),
+                         pmesh.data_sharding(mesh))
+
+    def fence(o):
+        np.asarray(jax.device_get(jax.tree.leaves(o)[0].ravel()[:1]))
+
+    fence(step(xd, ndv))                        # compile + warm
+    dev_dt = 1e30
+    for _ in range(args.trials):
+        t0 = time.perf_counter()
+        fence(step(xd, ndv))
+        dev_dt = min(dev_dt, time.perf_counter() - t0)
+    print(f"device-resident fused step: {dev_dt:.3f}s "
+          f"-> {audio / dev_dt:.0f}x realtime, "
+          f"{frames / dev_dt:.0f} frames/s", flush=True)
+
     checked = 0
     for i in range(min(args.check_clips, args.clips)):
         want = tcodec.encode(clips[i], cfg)
@@ -74,6 +110,9 @@ def main():
         "wall_seconds_all": [round(w, 3) for w in walls],
         "realtime_factor": round(audio / dt, 1),
         "frames_per_second": round(frames / dt, 0),
+        "device_resident_wall_seconds": round(dev_dt, 3),
+        "device_resident_realtime_factor": round(audio / dev_dt, 1),
+        "device_resident_frames_per_second": round(frames / dev_dt, 0),
         "clips_byte_checked_vs_per_clip": checked,
         "byte_equal": True,
         "note": ("tunnelled-PJRT wall includes the serialized H2D upload "
