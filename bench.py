@@ -157,7 +157,7 @@ def main():
     x_spec = xi_spec.astype(np.float32) / np.float32(32768.0)
     scodec.encode(x_spec[:fs], cfg)      # steady state: build table caches
     spec_dt = 1e30
-    for _ in range(2):                   # best-of, like the engine trials
+    for _ in range(3):                   # best-of, like the engine trials
         t0 = time.perf_counter()
         bs_spec = scodec.encode(x_spec, cfg)
         spec_dt = min(spec_dt, time.perf_counter() - t0)
@@ -194,6 +194,56 @@ def main():
         f"-> RTF {tpu_rtf:.1f}x ({nf * channels / tpu_dt:.0f} frames/s), "
         f"rate {len(bs) * 8 / args.seconds / 1000:.1f} kbps")
 
+    # --- device-resident RTF: the same executables with the audio already
+    # in HBM — separates the codec's own speed from the sandbox tunnel's
+    # serialized wire (~140-170 ms for the 5.3 MB upload alone, DESIGN.md
+    # §4e); this is what a real PCIe host sees. Reported as a
+    # supplementary field; "value" stays the honest end-to-end number.
+    import jax
+    import jax.numpy as jnp
+
+    from mrcaudiocodec_tpu import config as C
+    from mrcaudiocodec_tpu.models import encoder as enc
+    from mrcaudiocodec_tpu.ops.device_pack import record_cap_bytes
+
+    nf1 = cfg.frames_for_samples(xi.shape[0])
+    sizes = enc._chunk_schedule(nf1)
+    starts = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+    P = enc._padded_rows(xi, int(starts[-1]))
+    cap = record_cap_bytes(cfg)
+    devs = [jax.device_put(
+        P[:, int(starts[c]) * C.HOP:
+           (int(starts[c]) + sizes[c] + 3) * C.HOP])
+        for c in range(len(sizes))]
+
+    def fence(o):
+        np.asarray(jax.device_get(jax.tree.leaves(o)[0].ravel()[:1]))
+
+    def run_dev():
+        chunks = [enc._analyze_chunk(d, cfg.fs, cfg.window_switching,
+                                     cfg.full_psycho, cfg.window)
+                  for d in devs]
+        pes = [ch[3] for ch in chunks]
+        pe_full = pes[0] if len(pes) == 1 else jnp.concatenate(pes, axis=1)
+        budgets = enc._budget_stage(pe_full, jnp.int32(nf1),
+                                    int(cfg.mean_frame_bits),
+                                    cfg.reservoir_cap, cfg.reservoir)
+        return [enc._rd_pack_chunk(ch[1], ch[2],
+                                   budgets[:, int(starts[c]):
+                                           int(starts[c + 1])],
+                                   ch[0], cfg.fs, cap)
+                for c, ch in enumerate(chunks)]
+
+    fence(run_dev()[-1])
+    dev_dt = 1e30
+    for _ in range(4):
+        t0 = time.perf_counter()
+        fence(run_dev()[-1])
+        dev_dt = min(dev_dt, time.perf_counter() - t0)
+    dev_rtf = args.seconds / dev_dt
+    log(f"device-resident encode (audio pre-staged in HBM): "
+        f"{dev_dt*1e3:.0f} ms -> RTF {dev_rtf:.0f}x")
+
     # --- quality vs the normative spec codec: SAME clip, SAME duration,
     # equal bitrate through both engines (BASELINE.json:2,5). The spec
     # stream bs_spec above already encodes xi_spec; the TPU engine encodes
@@ -228,6 +278,7 @@ def main():
         "seg_snr_vs_spec_db": round(ssnr_tpu - ssnr_spec, 2),
         "psnr_db": round(psnr_tpu, 2),
         "psnr_spec_db": round(psnr_spec, 2),
+        "device_resident_rtf": round(dev_rtf, 1),
         "stream_matches_spec": same_stream,
     }))
 
