@@ -96,8 +96,10 @@ def _bits_for_gain_rows(x, amp, gains, lay, block_type):
 
 
 def _first_fit(cand, bits, budget_content):
-    """Row-wise first fitting candidate (fallback: last column, which is
-    GAIN_MAX by construction) -> (gain[K], q index i[K], bits[K])."""
+    """Row-wise first fitting candidate -> (gain[K], q index i[K],
+    bits[K]). No-fit fallback: the LAST column — g0 for the fine stage
+    (only reachable in its g0 == GAIN_MAX corner, same as rd_frame) and
+    the appended GAIN_MAX for the refine stage."""
     fits = bits <= budget_content[:, None]
     i = np.argmax(fits, axis=1)
     i = np.where(fits.any(axis=1), i, cand.shape[1] - 1)

@@ -42,7 +42,9 @@ def _write_corpus(tmpdir, n_clips, seconds=0.4, fs=44100, channels=2):
 
 
 def test_run_corpus_uses_all_devices_and_matches_per_clip(tmp_path):
-    assert jax.device_count() == 8, "conftest should force 8 CPU devices"
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices (conftest forces them on CPU; a "
+                    "single-chip MRC_TESTS_KEEP_TPU run skips)")
     indir, outdir = tmp_path / "in", tmp_path / "out"
     indir.mkdir()
     paths, clips = _write_corpus(str(indir), 9)   # 9 stereo = 18 rows
