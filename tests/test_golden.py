@@ -42,6 +42,8 @@ GOLDEN = [
      "60122258716993c3f2c3861a9c39562d86208eb803c561655346900e69ce9dfe"),
     ("g5_32k", 32000, 1, 64000, {},
      "b8c763155cdb68e1af709e3fa79b4e5a47901196d790e5b9106d67097366907a"),
+    ("g6_kbd", 44100, 1, 96000, {'window': 'kbd'},
+     "88e0688b2c6e3d5618dcde34f44b6d6ad3efde4e22a1a1c6d432277b7c6de9c8"),
 ]
 
 
