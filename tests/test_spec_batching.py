@@ -57,6 +57,37 @@ def test_batched_stages_equal_per_frame():
         assert bits_b[f] == bits1, f"bits frame {f}"
 
 
+def test_batched_rd_adversarial_budgets():
+    """Decision identity must hold in the fallback corners: starved
+    budgets (no candidate fits -> GAIN_MAX fallback), lavish budgets
+    (gain 0 fits immediately), zero/huge allowed-noise (outer loop exits
+    first iteration vs amplifies to AMP_MAX), and silent frames."""
+    fs = 44100
+    rng = np.random.default_rng(7)
+    nf = 24
+    from mrcaudiocodec_tpu import tables as T
+    nb = T.unified_layout(fs)["nb"]
+    coeffs = (rng.standard_normal((nf, C.LONG_COEFFS)).astype(np.float32)
+              * np.float32(40.0))
+    coeffs[0] = 0.0                                  # silent frame
+    coeffs[1] = np.float32(3000.0)                   # loud flat frame
+    bt = rng.integers(0, 5, nf).astype(np.int32)
+    allowed = np.abs(rng.standard_normal((nf, nb))).astype(np.float32)
+    allowed[2] = 0.0                                 # force amplification
+    allowed[3] = np.float32(1e30)                    # converge instantly
+    budgets = rng.integers(60, 6000, nf).astype(np.int64)
+    budgets[4] = 40                                  # starved: below fixed
+    budgets[5] = 10 ** 6                             # lavish
+    q_b, amp_b, gain_b, bits_b = rd.rd_frames(coeffs, allowed, budgets,
+                                              bt, fs)
+    for f in range(nf):
+        q1, amp1, gain1, bits1 = rd.rd_frame(
+            coeffs[f], allowed[f], int(budgets[f]), int(bt[f]), fs)
+        np.testing.assert_array_equal(q_b[f], q1, f"q frame {f}")
+        np.testing.assert_array_equal(amp_b[f], amp1, f"amp frame {f}")
+        assert gain_b[f] == gain1 and bits_b[f] == bits1, f"frame {f}"
+
+
 def test_batched_rd_tiny_slab_boundary():
     """Slab compaction must be exact across slab boundaries: force
     multiple slabs by monkeypatching SLAB small."""
