@@ -268,6 +268,40 @@ def main():
         dec_dt = time.perf_counter() - t0
         log(f"tpu decode RTF {args.seconds / dec_dt:.1f}x")
 
+        # decode with the parsed records pre-staged in HBM (PCIe-host view)
+        from mrcaudiocodec_tpu.models import decoder as mdec
+        from mrcaudiocodec_tpu.spec import bitstream as sbs
+        dcfg, dnf, _, _ = sbs.read_header(bs)
+        q, e_band, btr = mdec.parse_records(bs)
+        dsz = enc._chunk_schedule(dnf, mdec.DEC_CHUNK)
+        dbounds = np.concatenate([[0], np.cumsum(dsz)]).astype(int)
+        nfp = int(dbounds[-1])
+        lay_nb = e_band.shape[-1]
+        qc = np.zeros((dcfg.channels, nfp, 1024), np.int16)
+        ec = np.zeros((dcfg.channels, nfp, lay_nb), np.int16)
+        bc = np.zeros((dcfg.channels, nfp), np.int8)
+        qc[:, :dnf] = np.swapaxes(q.reshape(dnf, dcfg.channels, -1), 0, 1)
+        ec[:, :dnf] = np.swapaxes(
+            e_band.reshape(dnf, dcfg.channels, -1), 0, 1)
+        bc[:, :dnf] = btr.reshape(dnf, dcfg.channels).T
+        slabs = [(jax.device_put(jnp.asarray(qc[:, a:b])),
+                  jax.device_put(jnp.asarray(ec[:, a:b])),
+                  jax.device_put(jnp.asarray(bc[:, a:b])))
+                 for a, b in zip(dbounds[:-1], dbounds[1:])]
+
+        def run_dec():
+            return [mdec._synth_chunk(qs, es, bs_, dcfg.fs, dcfg.window,
+                                      True) for qs, es, bs_ in slabs]
+
+        fence(run_dec()[-1])
+        ddt = 1e30
+        for _ in range(4):
+            t0 = time.perf_counter()
+            fence(run_dec()[-1])
+            ddt = min(ddt, time.perf_counter() - t0)
+        log(f"device-resident decode (records pre-staged in HBM): "
+            f"{ddt*1e3:.0f} ms -> RTF {args.seconds / ddt:.0f}x")
+
     print(json.dumps({
         "metric": "encode_realtime_factor_per_chip_128kbps_stereo",
         "value": round(tpu_rtf, 2),
