@@ -332,10 +332,10 @@ def seg_sums(p, edges: tuple, xp, select=None):
 
     `select(scanned, ends) -> [..., S]` extracts each segment's last
     element — pure data movement (no rounding), so backends MAY override
-    it. The default is a static fancy index; every current caller (NumPy
-    spec, XLA:CPU, and the TPU engine) uses the default — `ends` is a
-    compile-time-constant index vector, which XLA:TPU lowers without the
-    dynamic-gather penalty the removed band_sum path measured."""
+    it. The default is a static fancy index (fine for NumPy and
+    XLA:CPU); the TPU engine passes a static slice+concat selector
+    (ops/psycho._select_slices) — measured ~4x less device time than
+    the constant-index gather on v5e, values identical."""
     stages, ends = _seg_tables_from_edges(edges)
     s = seg_scan(p, stages, xp)
     if select is not None:
