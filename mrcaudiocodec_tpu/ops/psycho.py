@@ -145,11 +145,18 @@ def _psy_family(fr, fs, long_block, full_psycho):
 
 
 def _band_energy(coeffs: jnp.ndarray, edges: tuple):
-    """Unified-layout MDCT band energies via the shared scan tree."""
+    """Unified-layout MDCT band energies via the shared scan tree.
+
+    NB: this one stays on seg_sums' DEFAULT static-index select even on
+    TPU. It runs inside the RD while_loop (one eval per refine
+    iteration), and unlike the analyze-side block_thresholds — where the
+    slice+concat selector was A/B-measured 4x faster — the loop-context
+    cost of the 88-slice concat has not been cleanly measured on
+    hardware (the tunnel degraded before an interleaved A/B could run);
+    switching it without measurement risks the encode hot path."""
     if jax.default_backend() == "tpu":
         from ..spec.psycho import mdct_band_energy
-        return mdct_band_energy(coeffs, np.asarray(edges), jnp,
-                                select=_select_slices)
+        return mdct_band_energy(coeffs, np.asarray(edges), jnp)
     from .. import native
     if jax.default_backend() == "cpu" and native.xpsy_ffi_registered():
         i32 = xpsy.band_energy_blob(edges)
