@@ -83,6 +83,23 @@ def test_tpu_path_bit_exact(name, fs, channels, bitrate, kw):
     assert bs_spec == bs_tpu
 
 
+@pytest.mark.parametrize("n", [1, 10, 1023, 1024, 1025])
+def test_subframe_and_boundary_lengths(n):
+    """Clip lengths at and around the frame boundary: byte-equal streams
+    and bitwise-equal decodes across engines (priming/flush edges)."""
+    from mrcaudiocodec_tpu.models import codec as tcodec
+    cfg = CodecConfig(fs=44100, channels=1, bitrate=96000)
+    x = (0.3 * np.random.default_rng(n).standard_normal((n, 1))
+         ).astype(np.float32)
+    bs_spec = scodec.encode(x, cfg)
+    bs_tpu = tcodec.encode(x, cfg)
+    assert bs_spec == bs_tpu
+    y_spec, _ = scodec.decode(bs_spec)
+    y_tpu, _ = tcodec.decode(bs_tpu)
+    assert y_spec.shape == (n, 1)
+    np.testing.assert_array_equal(y_spec, y_tpu)
+
+
 @pytest.mark.parametrize("direction", ["spec->tpu", "tpu->spec"])
 def test_cross_decode(direction):
     """Streams are interchangeable between engines."""
